@@ -1,0 +1,14 @@
+import os
+
+# Tests always run on a virtual 8-device CPU mesh (the shell environment
+# forces JAX_PLATFORMS=axon — the tunneled TPU — which must not be touched
+# from pytest; real-TPU runs use bench.py).  Pytest plugins (jaxtyping) may
+# import jax before this file runs, so set the config directly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
