@@ -1,0 +1,357 @@
+"""Homomorphic evaluator — the workhorse of the scheme layer.
+
+TPU-native counterpart of SEAL's Evaluator (reference:
+thirdparty/SEAL-4.1-bs/native/src/seal/evaluator.cpp: ckks_multiply :770,
+relinearize_internal :1345, rescale_to_next :1682, multiply_plain :2154,
+apply_galois :2563, rotate_internal :2667, switch_key_inplace :2724; plus
+the fork's reduced-error/const convenience ops, evaluator.h:1297-1386).
+
+Design differences (TPU-first):
+- Every op is pure jnp over ``Ciphertext`` pytrees with static level/scale
+  metadata, so ops compose under ``jax.jit`` and batch over leading axes
+  (the reference's per-ciphertext OpenMP loops become one batched call).
+- Scale/level bookkeeping is validated at *trace time* (Python asserts on
+  static metadata) — the reference's manual ``x.scale() = y`` resets
+  (Ct_pt_matrix_mul.hpp:41, softmax.hpp:465) are structured here as
+  explicit ``scale_override`` arguments.
+- Key-switching is *hybrid* (dnum digits, shared special primes), not
+  SEAL's per-limb decomposition: O(dnum * L) NTTs instead of O(L^2).
+- Ciphertexts stay in NTT+Montgomery form; only rescale/key-switch
+  internals round-trip single limbs through the coefficient domain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import mod_arith as ma
+from .params import Context
+from .ciphertext import Ciphertext, Plaintext
+from .keys import KSwitchKey, GaloisKeys
+from .ntt import ntt, intt
+
+
+def _close(a: float, b: float, tol=2e-3) -> bool:
+    """Scale compatibility check.  Composite-pair rescaling drifts the scale
+    by |q_pair/Delta - 1| ~ 1e-4 per level (pairs are chosen above/below the
+    target to cancel); additions tolerate that drift, introducing the same
+    relative error the reference's manual ``x.scale() = s`` resets do
+    (e.g. Ct_pt_matrix_mul.hpp:41)."""
+    return abs(a - b) <= tol * max(abs(a), abs(b))
+
+
+class Evaluator:
+    def __init__(self, ctx: Context, relin_key: KSwitchKey | None = None,
+                 galois_keys: GaloisKeys | None = None):
+        self.ctx = ctx
+        self.dev = ctx.device()
+        self.tbd = self.dev["ntt"]
+        self.relin_key = relin_key
+        self.galois_keys = galois_keys
+        self._perm_cache = {}
+
+    # -- constants (sliced at trace time) ---------------------------------
+    def _q(self, n_q):
+        return self.dev["q"][:n_q].reshape(-1, 1)
+
+    def _qneg(self, n_q):
+        return self.dev["qneg_inv"][:n_q].reshape(-1, 1)
+
+    # -- additive ops -----------------------------------------------------
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.n_q == b.n_q, (a.n_q, b.n_q)
+        assert _close(a.scale, b.scale), (a.scale, b.scale)
+        assert a.is_ntt and b.is_ntt
+        return Ciphertext(ma.add_mod(a.data, b.data, self._q(a.n_q)),
+                          a.scale, a.is_ntt)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.n_q == b.n_q and _close(a.scale, b.scale)
+        return Ciphertext(ma.sub_mod(a.data, b.data, self._q(a.n_q)),
+                          a.scale, a.is_ntt)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        return a.with_data(ma.neg_mod(a.data, self._q(a.n_q)))
+
+    def add_plain(self, a: Ciphertext, p: Plaintext) -> Ciphertext:
+        assert a.n_q == p.n_q and _close(a.scale, p.scale), \
+            (a.n_q, p.n_q, a.scale, p.scale)
+        q = self._q(a.n_q)
+        c0 = ma.add_mod(a.data[..., 0, :, :], p.data, q)
+        return a.with_data(
+            jnp.concatenate([c0[..., None, :, :], a.data[..., 1:, :, :]],
+                            axis=-3))
+
+    def sub_plain(self, a: Ciphertext, p: Plaintext) -> Ciphertext:
+        assert a.n_q == p.n_q and _close(a.scale, p.scale)
+        q = self._q(a.n_q)
+        c0 = ma.sub_mod(a.data[..., 0, :, :], p.data, q)
+        return a.with_data(
+            jnp.concatenate([c0[..., None, :, :], a.data[..., 1:, :, :]],
+                            axis=-3))
+
+    # -- scalar constants (trace-time encoded, no slot vector needed) -----
+    def _const_residues_mont(self, value: float, scale: float, n_q: int):
+        """round(value*scale) as per-limb Montgomery residues [n_q, 1].
+        Fork equivalent: Evaluator::add_const/multiply_const
+        (evaluator.h:1297-1340)."""
+        v = int(round(value * scale))
+        out = np.empty(n_q, dtype=np.uint32)
+        for i in range(n_q):
+            q = self.ctx.q_primes[i]
+            out[i] = (v % q) * ((1 << 32) % q) % q
+        return jnp.asarray(out).reshape(-1, 1)
+
+    def add_const(self, a: Ciphertext, value: float) -> Ciphertext:
+        c = self._const_residues_mont(value, a.scale, a.n_q)
+        q = self._q(a.n_q)
+        c0 = ma.add_mod(a.data[..., 0, :, :], c, q)
+        return a.with_data(
+            jnp.concatenate([c0[..., None, :, :], a.data[..., 1:, :, :]],
+                            axis=-3))
+
+    def mul_const(self, a: Ciphertext, value: float,
+                  const_scale: float | None = None) -> Ciphertext:
+        """Multiply by scalar encoded at ``const_scale`` (default: the pair
+        product at the current level, so one level rescale restores scale)."""
+        const_scale = const_scale if const_scale is not None else \
+            self.level_pair_scale(a.n_q)
+        c = self._const_residues_mont(value, const_scale, a.n_q)
+        out = ma.mont_mul(a.data, c, self._q(a.n_q), self._qneg(a.n_q))
+        return Ciphertext(out, a.scale * const_scale, a.is_ntt)
+
+    def level_pair_scale(self, n_q: int) -> float:
+        """Product of the top prime pair at this level (the composite
+        'one-level' divisor)."""
+        return float(self.ctx.q_primes[n_q - 1]) * float(self.ctx.q_primes[n_q - 2])
+
+    # -- multiplicative ops ----------------------------------------------
+    def multiply_plain(self, a: Ciphertext, p: Plaintext) -> Ciphertext:
+        assert a.n_q == p.n_q, (a.n_q, p.n_q)
+        out = ma.mont_mul(a.data, p.data[..., None, :, :],
+                          self._q(a.n_q), self._qneg(a.n_q))
+        return Ciphertext(out, a.scale * p.scale, a.is_ntt)
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Dyadic ct*ct product -> 3-poly ciphertext (SEAL ckks_multiply,
+        evaluator.cpp:770)."""
+        assert a.n_q == b.n_q and a.n_polys == 2 and b.n_polys == 2
+        q, qneg = self._q(a.n_q), self._qneg(a.n_q)
+        a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+        b0, b1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
+        c0 = ma.mont_mul(a0, b0, q, qneg)
+        c1 = ma.add_mod(ma.mont_mul(a0, b1, q, qneg),
+                        ma.mont_mul(a1, b0, q, qneg), q)
+        c2 = ma.mont_mul(a1, b1, q, qneg)
+        return Ciphertext(jnp.stack([c0, c1, c2], axis=-3),
+                          a.scale * b.scale, True)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        q, qneg = self._q(a.n_q), self._qneg(a.n_q)
+        a0, a1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+        c0 = ma.mont_mul(a0, a0, q, qneg)
+        c1 = ma.mont_mul(a0, a1, q, qneg)
+        c1 = ma.add_mod(c1, c1, q)
+        c2 = ma.mont_mul(a1, a1, q, qneg)
+        return Ciphertext(jnp.stack([c0, c1, c2], axis=-3), a.scale * a.scale,
+                          True)
+
+    def relinearize(self, a: Ciphertext) -> Ciphertext:
+        assert a.n_polys == 3 and self.relin_key is not None
+        ks0, ks1 = self._switch_key(a.data[..., 2, :, :], self.relin_key, a.n_q)
+        q = self._q(a.n_q)
+        c0 = ma.add_mod(a.data[..., 0, :, :], ks0, q)
+        c1 = ma.add_mod(a.data[..., 1, :, :], ks1, q)
+        return Ciphertext(jnp.stack([c0, c1], axis=-3), a.scale, True)
+
+    def multiply_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self.relinearize(self.multiply(a, b))
+
+    # -- rescale / mod switch --------------------------------------------
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        """Drop the top prime, dividing the message by it (SEAL
+        rescale_to_next -> divide_and_round_q_last_ntt_inplace,
+        evaluator.cpp:1682 / util/rns.h:208)."""
+        n_q = a.n_q
+        ell = n_q - 1
+        assert ell >= 1
+        dv = self.dev
+        qe = int(self.ctx.q_primes[ell])
+        # last limb -> coeff -> true value u = [c_ell + qe/2]
+        last = intt(a.data[..., ell:ell + 1, :], self.tbd,
+                    limb_slice=(ell, ell + 1))
+        q_l = dv["q"][ell:ell + 1].reshape(-1, 1)
+        t = ma.from_mont(last, q_l, dv["qneg_inv"][ell:ell + 1].reshape(-1, 1))
+        half = jnp.uint32(qe >> 1)
+        u = t + half
+        u = jnp.where(u >= q_l, u - q_l, u)
+        # convert u to each remaining modulus (to_mont handles u >= q_j)
+        qj = self._q(ell)
+        qnegj = self._qneg(ell)
+        r2j = dv["r2"][:ell].reshape(-1, 1)
+        uj = ma.to_mont(u, qj, qnegj, r2j)            # [..., ell, N] mont
+        # subtract the rounding half per *coefficient* (coeff domain!) so the
+        # centered remainder u-h is what gets NTT'd (SEAL rns.cpp
+        # divide_and_round_q_last_ntt_inplace does the same).
+        hj = dv["resc_half_mod"][ell, :ell].reshape(-1, 1)
+        uj = ma.sub_mod(uj, hj, qj)
+        u_ntt = ntt(uj, self.tbd, limb_slice=(0, ell))
+        qlinv = dv["resc_qlinv_mont"][ell, :ell].reshape(-1, 1)
+        num = ma.sub_mod(a.data[..., :ell, :], u_ntt, qj)
+        out = ma.mont_mul(num, qlinv, qj, qnegj)
+        return Ciphertext(out, a.scale / qe, True)
+
+    def rescale_pair(self, a: Ciphertext) -> Ciphertext:
+        """One *level* rescale = two single-prime rescales (composite scale)."""
+        return self.rescale(self.rescale(a))
+
+    def mod_drop(self, a: Ciphertext, n_primes: int = 1) -> Ciphertext:
+        """Drop top primes without scaling (SEAL CKKS mod_switch_to_next)."""
+        assert a.n_q - n_primes >= 1
+        return a.with_data(a.data[..., : a.n_q - n_primes, :])
+
+    def mod_drop_to(self, a: Ciphertext, n_q: int) -> Ciphertext:
+        assert n_q <= a.n_q
+        return a.with_data(a.data[..., :n_q, :])
+
+    def mod_drop_level(self, a: Ciphertext, n_levels: int = 1) -> Ciphertext:
+        """Drop whole composite levels (pairs of primes)."""
+        return self.mod_drop(a, 2 * n_levels)
+
+    def plain_mod_drop_to(self, p: Plaintext, n_q: int) -> Plaintext:
+        return Plaintext(p.data[..., :n_q, :], p.scale, p.is_ntt)
+
+    # -- key switching core ----------------------------------------------
+    def _switch_key(self, poly_ntt, key: KSwitchKey, n_q: int):
+        """Switch the key under ``poly_ntt`` ([..., n_q, N], NTT Montgomery)
+        to the canonical secret; returns (d0, d1) to be added to c0/c1.
+
+        Hybrid variant of SEAL switch_key_inplace (evaluator.cpp:2724):
+        per digit: exact-CRT digit scale, fast base extension to Q_l + P,
+        NTT, MAC against the key, then mod-down by P.
+        """
+        ctx = self.ctx
+        dv = self.dev
+        L, K = ctx.L, ctx.K
+        nall = L + K
+        q_all = dv["q"]
+        qneg_all = dv["qneg_inv"]
+        # target modulus row selection (static)
+        t_idx = list(range(n_q)) + list(range(L, L + K))
+        qt = jnp.concatenate([q_all[:n_q], q_all[L:]]).reshape(-1, 1)
+        qnegt = jnp.concatenate([qneg_all[:n_q], qneg_all[L:]]).reshape(-1, 1)
+
+        c = intt(poly_ntt, self.tbd, limb_slice=(0, n_q))
+        acc0 = acc1 = None
+        for d, (lo, hi) in enumerate(ctx.digit_ranges):
+            hi_act = min(hi, n_q)
+            if lo >= hi_act:
+                break
+            n_d = hi_act - lo
+            qd = q_all[lo:hi_act].reshape(-1, 1)
+            qnegd = qneg_all[lo:hi_act].reshape(-1, 1)
+            hatinv = dv["ks_hatinv_mont"][n_q, d, :n_d].reshape(-1, 1)
+            lam = ma.from_mont(
+                ma.mont_mul(c[..., lo:hi_act, :], hatinv, qd, qnegd), qd, qnegd)
+            # fast base extension: y_t = sum_i lam_i * hat_i  (Montgomery out)
+            y = None
+            for i in range(n_d):
+                hat = dv["ks_hat_mm"][n_q, d, i, :]             # [nall]
+                hat_t = jnp.concatenate([hat[:n_q], hat[L:]]).reshape(-1, 1)
+                term = ma.mont_mul(lam[..., i:i + 1, :], hat_t, qt, qnegt)
+                y = term if y is None else ma.add_mod(y, term, qt)
+            # NTT over targets (two contiguous table slices)
+            y_q = ntt(y[..., :n_q, :], self.tbd, limb_slice=(0, n_q))
+            y_p = ntt(y[..., n_q:, :], self.tbd, limb_slice=(L, nall))
+            y = jnp.concatenate([y_q, y_p], axis=-2)
+            kd = key.data[d]                                    # [2, L+K, N]
+            k0 = jnp.concatenate([kd[0, :n_q], kd[0, L:]], axis=-2)
+            k1 = jnp.concatenate([kd[1, :n_q], kd[1, L:]], axis=-2)
+            t0 = ma.mont_mul(y, k0, qt, qnegt)
+            t1 = ma.mont_mul(y, k1, qt, qnegt)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = ma.add_mod(acc0, t0, qt)
+                acc1 = ma.add_mod(acc1, t1, qt)
+        return (self._mod_down_p(acc0, n_q), self._mod_down_p(acc1, n_q))
+
+    def _mod_down_p(self, u, n_q: int):
+        """Divide a [..., n_q+K, N] NTT poly by P, dropping the P limbs."""
+        ctx = self.ctx
+        dv = self.dev
+        L, K = ctx.L, ctx.K
+        u_q = u[..., :n_q, :]
+        u_p = u[..., n_q:, :]
+        qp = dv["q"][L:].reshape(-1, 1)
+        qnegp = dv["qneg_inv"][L:].reshape(-1, 1)
+        cp = intt(u_p, self.tbd, limb_slice=(L, L + K))
+        lam = ma.from_mont(
+            ma.mont_mul(cp, dv["pdown_hatinv_mont"].reshape(-1, 1), qp, qnegp),
+            qp, qnegp)
+        qj, qnegj = self._q(n_q), self._qneg(n_q)
+        w = None
+        for i in range(K):
+            hat = dv["pdown_hat_modq_mm"][i, :n_q].reshape(-1, 1)
+            term = ma.mont_mul(lam[..., i:i + 1, :], hat, qj, qnegj)
+            w = term if w is None else ma.add_mod(w, term, qj)
+        w_ntt = ntt(w, self.tbd, limb_slice=(0, n_q))
+        pinv = dv["pdown_pinv_mont"][:n_q].reshape(-1, 1)
+        return ma.mont_mul(ma.sub_mod(u_q, w_ntt, qj), pinv, qj, qnegj)
+
+    # -- Galois / rotations ----------------------------------------------
+    def _perm(self, g: int):
+        if g not in self._perm_cache:
+            assert self.galois_keys is not None and g in self.galois_keys.perms, \
+                f"missing galois key for element {g}"
+            self._perm_cache[g] = jnp.asarray(self.galois_keys.perms[g])
+        return self._perm_cache[g]
+
+    def apply_galois(self, a: Ciphertext, g: int) -> Ciphertext:
+        """sigma_g then keyswitch back to the canonical key (SEAL
+        apply_galois_inplace, evaluator.cpp:2563)."""
+        assert a.n_polys == 2
+        perm = self._perm(g)
+        d = jnp.take(a.data, perm, axis=-1)
+        c0, c1 = d[..., 0, :, :], d[..., 1, :, :]
+        ks0, ks1 = self._switch_key(c1, self.galois_keys.keys[g], a.n_q)
+        q = self._q(a.n_q)
+        return Ciphertext(jnp.stack([ma.add_mod(c0, ks0, q), ks1], axis=-3),
+                          a.scale, True)
+
+    def rotate(self, a: Ciphertext, steps: int) -> Ciphertext:
+        """Rotate slots by ``steps``; decomposes into available power-of-two
+        step keys when the exact key is absent (SEAL rotate_internal NAF
+        fallback, evaluator.cpp:2701-2720)."""
+        n = self.ctx.cfg.N // 2
+        steps = steps % n
+        if steps == 0:
+            return a
+        two_n = 2 * self.ctx.cfg.N
+        g = pow(5, steps, two_n)
+        if self.galois_keys is not None and g in self.galois_keys.keys:
+            return self.apply_galois(a, g)
+        # power-of-two fallback
+        out = a
+        bit = 0
+        rem = steps
+        while rem:
+            if rem & 1:
+                gs = pow(5, 1 << bit, two_n)
+                assert gs in self.galois_keys.keys, \
+                    f"no galois key for step {steps} (need 2^{bit})"
+                out = self.apply_galois(out, gs)
+            rem >>= 1
+            bit += 1
+        return out
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        return self.apply_galois(a, 2 * self.ctx.cfg.N - 1)
+
+    # -- scale management -------------------------------------------------
+    def with_scale(self, a: Ciphertext, scale: float) -> Ciphertext:
+        """Explicit scale override (the reference's ``x.scale() = s`` resets,
+        e.g. Ct_pt_matrix_mul.hpp:41 — made explicit and greppable here)."""
+        return Ciphertext(a.data, float(scale), a.is_ntt)

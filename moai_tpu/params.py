@@ -167,14 +167,14 @@ class Context:
         # tables indexed [ell][j<ell]  (numpy padded [L, L])
         self.resc_qlinv_mont = np.zeros((L, L), dtype=np.uint32)  # (q_ell^{-1} mod q_j)*R
         self.resc_half = np.zeros(L, dtype=np.uint32)             # q_ell >> 1
-        self.resc_half_mod = np.zeros((L, L), dtype=np.uint32)    # (q_ell>>1) mod q_j, true
+        self.resc_half_mod = np.zeros((L, L), dtype=np.uint32)    # ((q_ell>>1) mod q_j)*R
         for ell in range(1, L):
             qe = primes[ell]
             self.resc_half[ell] = qe >> 1
             for j in range(ell):
                 qj = primes[j]
                 self.resc_qlinv_mont[ell, j] = mont(inv_mod(qe % qj, qj), qj)
-                self.resc_half_mod[ell, j] = (qe >> 1) % qj
+                self.resc_half_mod[ell, j] = mont((qe >> 1) % qj, qj)
 
         # mod-down-by-P tables (keyswitch tail): conv P -> q_j then *P^{-1}
         # hatP_i = P / p_i ;  lambda_i = [x_i * hatP_i^{-1}]_{p_i}
