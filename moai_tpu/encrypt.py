@@ -50,17 +50,20 @@ class Encryptor:
         return self._enc_jit[key]
 
     def encrypt(self, pt: Plaintext) -> Ciphertext:
-        """Public-key encrypt: (u*pk0 + e0 + m, u*pk1 + e1)."""
+        """Public-key encrypt: (u*pk0 + e0 + m, u*pk1 + e1).  Fresh
+        randomness per leading batch element."""
         ctx = self.ctx
         n_q = pt.n_q
         L = ctx.L
-        u = _residues(self.rng.choice(np.array([-1, 0, 1]), size=ctx.cfg.N),
+        bshape = pt.data.shape[:-2]
+        u = _residues(self.rng.choice(np.array([-1, 0, 1]),
+                                      size=bshape + (ctx.cfg.N,)),
                       ctx.q_primes)
-        e0 = _residues(np.round(self.rng.normal(0, ctx.cfg.noise_std,
-                                                ctx.cfg.N)).astype(np.int64),
+        e0 = _residues(np.round(self.rng.normal(
+            0, ctx.cfg.noise_std, bshape + (ctx.cfg.N,))).astype(np.int64),
                        ctx.q_primes)
-        e1 = _residues(np.round(self.rng.normal(0, ctx.cfg.noise_std,
-                                                ctx.cfg.N)).astype(np.int64),
+        e1 = _residues(np.round(self.rng.normal(
+            0, ctx.cfg.noise_std, bshape + (ctx.cfg.N,))).astype(np.int64),
                        ctx.q_primes)
         fn = self._jit_ntt(L, 2)
         u_ntt = fn(jnp.asarray(_to_mont_host(u, ctx.q_primes)))
@@ -71,9 +74,9 @@ class Encryptor:
         c0 = ma.add_mod(ma.mont_mul(u_ntt, self.pk.data[0], q, qneg), e0_ntt, q)
         c1 = ma.add_mod(ma.mont_mul(u_ntt, self.pk.data[1], q, qneg), e1_ntt, q)
         # drop to the plaintext's level, add message
-        c0 = ma.add_mod(c0[:n_q], pt.data, q[:n_q])
-        c1 = c1[:n_q]
-        return Ciphertext(data=jnp.stack([c0, c1]), scale=pt.scale)
+        c0 = ma.add_mod(c0[..., :n_q, :], pt.data, q[:n_q])
+        c1 = c1[..., :n_q, :]
+        return Ciphertext(data=jnp.stack([c0, c1], axis=-3), scale=pt.scale)
 
     def encrypt_values(self, vals, scale: float | None = None,
                        n_q: int | None = None) -> Ciphertext:

@@ -224,27 +224,26 @@ class Evaluator:
         return Plaintext(p.data[..., :n_q, :], p.scale, p.is_ntt)
 
     # -- key switching core ----------------------------------------------
-    def _switch_key(self, poly_ntt, key: KSwitchKey, n_q: int):
-        """Switch the key under ``poly_ntt`` ([..., n_q, N], NTT Montgomery)
-        to the canonical secret; returns (d0, d1) to be added to c0/c1.
+    def _active_digits(self, n_q: int) -> int:
+        return sum(1 for lo, hi in self.ctx.digit_ranges if lo < n_q)
 
-        Hybrid variant of SEAL switch_key_inplace (evaluator.cpp:2724):
-        per digit: exact-CRT digit scale, fast base extension to Q_l + P,
-        NTT, MAC against the key, then mod-down by P.
+    def _ks_decompose(self, poly_ntt, n_q: int):
+        """Digit-decompose + base-extend + NTT: [..., n_q, N] NTT Montgomery
+        -> y [..., dnum_act, n_t, N] (NTT Montgomery over Q_l + P).
+
+        This is the rotation-independent half of key switching; hoisting
+        (Halevi-Shoup) reuses it across many rotations.
         """
         ctx = self.ctx
         dv = self.dev
         L, K = ctx.L, ctx.K
         nall = L + K
-        q_all = dv["q"]
-        qneg_all = dv["qneg_inv"]
-        # target modulus row selection (static)
-        t_idx = list(range(n_q)) + list(range(L, L + K))
+        q_all, qneg_all = dv["q"], dv["qneg_inv"]
         qt = jnp.concatenate([q_all[:n_q], q_all[L:]]).reshape(-1, 1)
         qnegt = jnp.concatenate([qneg_all[:n_q], qneg_all[L:]]).reshape(-1, 1)
 
         c = intt(poly_ntt, self.tbd, limb_slice=(0, n_q))
-        acc0 = acc1 = None
+        ys = []
         for d, (lo, hi) in enumerate(ctx.digit_ranges):
             hi_act = min(hi, n_q)
             if lo >= hi_act:
@@ -262,21 +261,43 @@ class Evaluator:
                 hat_t = jnp.concatenate([hat[:n_q], hat[L:]]).reshape(-1, 1)
                 term = ma.mont_mul(lam[..., i:i + 1, :], hat_t, qt, qnegt)
                 y = term if y is None else ma.add_mod(y, term, qt)
-            # NTT over targets (two contiguous table slices)
             y_q = ntt(y[..., :n_q, :], self.tbd, limb_slice=(0, n_q))
             y_p = ntt(y[..., n_q:, :], self.tbd, limb_slice=(L, nall))
-            y = jnp.concatenate([y_q, y_p], axis=-2)
-            kd = key.data[d]                                    # [2, L+K, N]
-            k0 = jnp.concatenate([kd[0, :n_q], kd[0, L:]], axis=-2)
-            k1 = jnp.concatenate([kd[1, :n_q], kd[1, L:]], axis=-2)
-            t0 = ma.mont_mul(y, k0, qt, qnegt)
-            t1 = ma.mont_mul(y, k1, qt, qnegt)
-            if acc0 is None:
-                acc0, acc1 = t0, t1
-            else:
-                acc0 = ma.add_mod(acc0, t0, qt)
-                acc1 = ma.add_mod(acc1, t1, qt)
+            ys.append(jnp.concatenate([y_q, y_p], axis=-2))
+        return jnp.stack(ys, axis=-3)                           # [..., D, n_t, N]
+
+    def _key_rows(self, key_data, n_q: int):
+        """key [..., dnum, 2, L+K, N] -> rows for targets Q_l + P, active
+        digits only: [..., D, 2, n_t, N]."""
+        L = self.ctx.L
+        D = self._active_digits(n_q)
+        kd = key_data[..., :D, :, :, :]
+        return jnp.concatenate([kd[..., :n_q, :], kd[..., L:, :]], axis=-2)
+
+    def _ks_mac_moddown(self, y, key_rows, n_q: int):
+        """MAC the decomposition ``y`` [..., D, n_t, N] against key rows
+        [..., D, 2, n_t, N] and mod-down by P -> (d0, d1) each [..., n_q, N].
+        Leading batch axes broadcast (stacked rotation keys included)."""
+        dv = self.dev
+        L = self.ctx.L
+        q_all, qneg_all = dv["q"], dv["qneg_inv"]
+        qt = jnp.concatenate([q_all[:n_q], q_all[L:]]).reshape(-1, 1)
+        qnegt = jnp.concatenate([qneg_all[:n_q], qneg_all[L:]]).reshape(-1, 1)
+        t0 = ma.mont_mul(y, key_rows[..., 0, :, :], qt, qnegt)
+        t1 = ma.mont_mul(y, key_rows[..., 1, :, :], qt, qnegt)
+        D = y.shape[-3]
+        acc0 = t0[..., 0, :, :]
+        acc1 = t1[..., 0, :, :]
+        for d in range(1, D):
+            acc0 = ma.add_mod(acc0, t0[..., d, :, :], qt)
+            acc1 = ma.add_mod(acc1, t1[..., d, :, :], qt)
         return (self._mod_down_p(acc0, n_q), self._mod_down_p(acc1, n_q))
+
+    def _switch_key(self, poly_ntt, key: KSwitchKey, n_q: int):
+        """Hybrid key switch (SEAL switch_key_inplace, evaluator.cpp:2724,
+        redesigned): decompose + extend + NTT once, MAC, mod-down by P."""
+        y = self._ks_decompose(poly_ntt, n_q)
+        return self._ks_mac_moddown(y, self._key_rows(key.data, n_q), n_q)
 
     def _mod_down_p(self, u, n_q: int):
         """Divide a [..., n_q+K, N] NTT poly by P, dropping the P limbs."""
@@ -306,7 +327,8 @@ class Evaluator:
         if g not in self._perm_cache:
             assert self.galois_keys is not None and g in self.galois_keys.perms, \
                 f"missing galois key for element {g}"
-            self._perm_cache[g] = jnp.asarray(self.galois_keys.perms[g])
+            with jax.ensure_compile_time_eval():
+                self._perm_cache[g] = jnp.asarray(self.galois_keys.perms[g])
         return self._perm_cache[g]
 
     def apply_galois(self, a: Ciphertext, g: int) -> Ciphertext:
@@ -349,6 +371,60 @@ class Evaluator:
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         return self.apply_galois(a, 2 * self.ctx.cfg.N - 1)
+
+    def _stacked_galois(self, elts: tuple[int, ...]):
+        """Stack perms and keys for a tuple of galois elements (cached
+        eagerly — never cache values produced under an active trace)."""
+        key = ("stack", elts)
+        if key not in self._perm_cache:
+            with jax.ensure_compile_time_eval():
+                perms = jnp.stack([self._perm(g) for g in elts])
+                keys = jnp.stack([self.galois_keys.keys[g].data for g in elts])
+            self._perm_cache[key] = (perms, keys)
+        return self._perm_cache[key]
+
+    def rotate_hoisted(self, a: Ciphertext, steps: list[int],
+                       chunk: int | None = None) -> Ciphertext:
+        """Rotate ``a`` by every step in ``steps`` at once; returns a
+        ciphertext with a NEW leading axis R = len(steps).
+
+        Halevi-Shoup hoisting, TPU-shaped: the expensive decomposition
+        (digit split + base extension + NTTs) runs ONCE; each rotation is a
+        gather of the decomposition digits plus a batched MAC with stacked
+        keys.  The reference pays the full key-switch per rotation
+        (rotations dominate its CCMM and bootstrap cost, SURVEY.md §3.3).
+        """
+        assert a.n_polys == 2
+        two_n = 2 * self.ctx.cfg.N
+        n = self.ctx.cfg.N // 2
+        elts = tuple(pow(5, s % n, two_n) for s in steps)
+        perms, keys = self._stacked_galois(elts)
+        n_q = a.n_q
+        y = self._ks_decompose(a.data[..., 1, :, :], n_q)   # [..., D, n_t, N]
+        if chunk is None:
+            chunk = len(steps)
+        outs = []
+        for s0 in range(0, len(steps), chunk):
+            p = perms[s0:s0 + chunk]                        # [R, N]
+            k = keys[s0:s0 + chunk]                         # [R, dnum, 2, L+K, N]
+            # digits of sigma_g(c1) = sigma_g(digits of c1): gather last axis
+            y_r = jnp.take(y, p, axis=-1)                   # [..., D, n_t, R, N]
+            y_r = jnp.moveaxis(y_r, -2, 0)                  # [R, ..., D, n_t, N]
+            kr = self._key_rows(k, n_q)                     # [R, D, 2, n_t, N]
+            if a.data.ndim > 3:                             # broadcast batch
+                kr = kr.reshape((kr.shape[0],) + (1,) * (a.data.ndim - 3)
+                                + kr.shape[1:])
+            d0, d1 = self._ks_mac_moddown(y_r, kr, n_q)
+            c0 = jnp.take(a.data[..., 0, :, :], p, axis=-1)  # [..., n_q, R, N]
+            c0 = jnp.moveaxis(c0, -2, 0)
+            q = self._q(n_q)
+            outs.append(jnp.stack([ma.add_mod(c0, d0, q), d1], axis=-3))
+        return Ciphertext(jnp.concatenate(outs, axis=0) if len(outs) > 1
+                          else outs[0], a.scale, True)
+
+    def relinearize_batched(self, a: Ciphertext) -> Ciphertext:
+        """Alias of relinearize — already batched over leading axes."""
+        return self.relinearize(a)
 
     # -- scale management -------------------------------------------------
     def with_scale(self, a: Ciphertext, scale: float) -> Ciphertext:

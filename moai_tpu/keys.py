@@ -41,11 +41,11 @@ def _to_mont_host(res: np.ndarray, primes) -> np.ndarray:
 
 
 def _residues(coeffs: np.ndarray, primes) -> np.ndarray:
-    """Signed int coefficients [N] -> standard residues [L, N]."""
-    out = np.empty((len(primes), coeffs.shape[-1]), dtype=np.uint32)
+    """Signed int coefficients [..., N] -> standard residues [..., L, N]."""
     c = coeffs.astype(np.int64)
+    out = np.empty(c.shape[:-1] + (len(primes), c.shape[-1]), dtype=np.uint32)
     for i, q in enumerate(primes):
-        out[i] = (c % q).astype(np.uint32)
+        out[..., i, :] = (c % q).astype(np.uint32)
     return out
 
 

@@ -1,0 +1,238 @@
+"""Encrypted matrix multiplication: CPMM and CCMM.
+
+TPU-native counterparts of the reference matmul layer:
+- CPMM (reference: include/source/matrix_mul/Ct_pt_matrix_mul.hpp:4-215,
+  four variants): X (col-packed ciphertext batch) x plaintext W.  The
+  reference's per-output-column OpenMP loops of scalar ciphertext
+  multiplies become ONE exact integer matmul per limb on the MXU
+  (modmat.mod_matmul, int8 digit path), with zero rotations — preserving
+  the reference's key insight that column packing makes XW rotation-free.
+- CCMM col-packing (reference: Ct_ct_matrix_mul.hpp:5-55): col-packed X x
+  col-packed W^T -> diagonal-packed XW^T via rotations by multiples of the
+  interleaved-batch factor; rotations are batched over the whole column
+  axis (one key-switch per step instead of per (step, column)).
+- CCMM diag-packing BSGS (reference: Ct_ct_matrix_mul.hpp:57-155):
+  diagonal-packed X x col-packed V with baby-step/giant-step rotations.
+
+Depth accounting matches the reference: each matmul consumes one composite
+level.  The masked CPMM variant (reference :103, "w_mask") folds the 0/1
+tracing vector in at the same total depth by splitting the pair budget:
+weights at the top single prime, mask at the next.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import mod_arith as ma
+from ..ciphertext import Ciphertext, Plaintext
+from ..evaluator import Evaluator
+from ..encoder import Encoder
+from ..keys import _to_mont_host
+from ..modmat import mod_matmul, host_weight_digits, host_bucket_consts
+from ..ntt import ntt
+
+
+def ccmm_col_steps(num_x: int, num_row: int) -> list[int]:
+    """Rotation steps needed by ccmm_col_to_diag (galois key planning, the
+    reference does the same in test_full_scheme.hpp:436-443)."""
+    return [i * num_x for i in range(1, num_row)]
+
+
+def ccmm_diag_steps(num_x: int, num_row: int) -> list[int]:
+    """Rotation steps needed by ccmm_diag_to_col (BSGS baby+giant+pre)."""
+    m = num_row
+    g = int(np.ceil(np.sqrt(m)))
+    b = int(np.ceil(m / g))
+    steps = set()
+    for s in range(1, g):
+        steps.add(s * num_x)
+    for bi in range(1, b):
+        steps.add(g * bi * num_x)
+        steps.add(-g * bi * num_x)
+    return sorted(steps)
+
+
+class CPMM:
+    """Precompiled ct x pt matmul: out[i] = sum_j x[j] * W[j, i] (+ bias).
+
+    W: [J, I] float weights.  ``n_q`` is the level the input arrives at.
+    With ``mask`` (the tracing vector over slots) the weights are encoded at
+    the top single prime and the mask at the following prime, so the masked
+    product still costs exactly one composite level.
+    """
+
+    def __init__(self, ev: Evaluator, encoder: Encoder, W: np.ndarray,
+                 n_q: int, bias: np.ndarray | None = None,
+                 mask: np.ndarray | None = None):
+        self.ev = ev
+        ctx = ev.ctx
+        self.n_q = n_q
+        qs = ctx.q_primes[:n_q]
+        self.out_dim = W.shape[1]
+        if mask is None:
+            w_scale = float(qs[-1]) * float(qs[-2])
+            self.mask_pt = None
+        else:
+            w_scale = float(qs[-1])
+            mask_scale = float(qs[-2])
+            res = encoder.encode(mask, scale=mask_scale, n_q=n_q)
+            mont = _to_mont_host(res, qs)
+            tbd = ctx.device()["ntt"]
+            self.mask_pt = Plaintext(
+                data=ntt(jnp.asarray(mont), tbd, limb_slice=(0, n_q)),
+                scale=mask_scale)
+        self.w_scale = w_scale
+        res = np.empty((n_q,) + W.shape, dtype=np.uint32)
+        wv = np.round(np.asarray(W, np.float64) * w_scale)
+        assert np.abs(wv).max() < 2 ** 62
+        wi = wv.astype(np.int64)
+        for li, q in enumerate(qs):
+            res[li] = (wi % q).astype(np.uint32)
+        self.w_digits = jnp.asarray(host_weight_digits(res))
+        bm, bo = host_bucket_consts(qs)
+        self.bucket_mul = jnp.asarray(bm)
+        self.bucket_off = jnp.asarray(bo)
+        self.bias = bias
+        self._bias_pt = None
+        self._bias_key = None
+        self.encoder = encoder
+        self.bias_mask = mask
+
+    def __call__(self, x: Ciphertext, rescale: bool = True) -> Ciphertext:
+        """x: Ciphertext with leading batch axis J.  Output batch axis I."""
+        ev = self.ev
+        assert x.n_q == self.n_q, (x.n_q, self.n_q)
+        dv = ev.dev
+        # [J, P, L, N] -> [I, P, L, N]
+        out = mod_matmul(x.data, self.w_digits, self.bucket_mul,
+                         self.bucket_off, dv["q"][:self.n_q],
+                         dv["qneg_inv"][:self.n_q])
+        ct = Ciphertext(out, x.scale * self.w_scale, True)
+        if self.mask_pt is not None:
+            ct = ev.multiply_plain(ct, self.mask_pt)
+        if rescale:
+            ct = ev.rescale(ev.rescale(ct))
+            if self.bias is not None:
+                ct = ev.add_plain(ct, self._bias(ct))
+        return ct
+
+    def _bias(self, ct: Ciphertext) -> Plaintext:
+        key = (ct.n_q, round(ct.scale))
+        if self._bias_key != key:
+            slots = self.ev.ctx.cfg.slots
+            vecs = np.broadcast_to(np.asarray(self.bias)[:, None],
+                                   (self.out_dim, slots)).copy()
+            if self.bias_mask is not None:
+                vecs *= self.bias_mask[None, :]
+            res = self.encoder.encode(vecs, scale=ct.scale, n_q=ct.n_q)
+            mont = _to_mont_host(res, self.ev.ctx.q_primes[:ct.n_q])
+            tbd = self.ev.ctx.device()["ntt"]
+            self._bias_pt = Plaintext(
+                data=ntt(jnp.asarray(mont), tbd, limb_slice=(0, ct.n_q)),
+                scale=ct.scale)
+            self._bias_key = key
+        return self._bias_pt
+
+
+def ccmm_col_to_diag(ev: Evaluator, x: Ciphertext, w: Ciphertext,
+                     num_x: int, num_row: int,
+                     chunk: int | None = None) -> Ciphertext:
+    """Col-packed X [C cts] x col-packed W [C cts] -> diagonal-packed X W^T
+    [num_row cts]: out[i] = sum_j X_j * rot(W_j, i*num_x)
+    (reference: ct_ct_matrix_mul_colpacking, Ct_ct_matrix_mul.hpp:5-55).
+
+    TPU-native: ONE hoisted multi-rotation produces all num_row-1 rotated
+    copies of the whole W batch (the reference pays a full key-switch per
+    (diagonal, column)); the dyadic products reduce over the column axis and
+    a single batched relinearization finishes all diagonals.
+    """
+    q = ev.dev["q"][:x.n_q].reshape(-1, 1)
+    qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
+    rot_w = ev.rotate_hoisted(w, [i * num_x for i in range(1, num_row)],
+                              chunk=chunk)
+    w_all = jnp.concatenate([w.data[None], rot_w.data])    # [R, C, 2, L, N]
+    x0 = x.data[None, :, 0, :, :]
+    x1 = x.data[None, :, 1, :, :]
+    w0 = w_all[..., 0, :, :]
+    w1 = w_all[..., 1, :, :]
+    c0 = ma.mont_mul(x0, w0, q, qneg)
+    c1 = ma.add_mod(ma.mont_mul(x0, w1, q, qneg),
+                    ma.mont_mul(x1, w0, q, qneg), q)
+    c2 = ma.mont_mul(x1, w1, q, qneg)
+    prod = jnp.stack([c0, c1, c2], axis=-3)                # [R, C, 3, L, N]
+    summed = _sum_axis(prod, 1, q)                         # [R, 3, L, N]
+    ct3 = Ciphertext(summed, x.scale * w.scale, True)
+    return ev.rescale(ev.rescale(ev.relinearize(ct3)))
+
+
+def _sum_axis(data, axis, q):
+    """Tree-reduce modular sum along ``axis``."""
+    n = data.shape[axis]
+    while n > 1:
+        half = n // 2
+        a = jnp.take(data, jnp.arange(half), axis=axis)
+        b = jnp.take(data, jnp.arange(half, 2 * half), axis=axis)
+        ext = ma.add_mod(a, b, q)
+        if n % 2:
+            tail = jnp.take(data, jnp.arange(2 * half, n), axis=axis)
+            data = jnp.concatenate([ext, tail], axis=axis)
+            n = half + 1
+        else:
+            data = ext
+            n = half
+    return jnp.squeeze(data, axis=axis)
+
+
+def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
+                     num_x: int, num_row: int) -> Ciphertext:
+    """Diagonal-packed A [num_row cts, diag d slot k = A[k, k+d]] x
+    col-packed V [dv cts] -> col-packed A V [dv cts], baby-step/giant-step
+    (reference: ct_ct_matrix_mul_diagpacking, Ct_ct_matrix_mul.hpp:57-155).
+
+        AV_col_c = sum_d diag_d (*) rot(V_c, d*num_x)
+                 = sum_b rot( sum_s rot(diag_{g b+s}, -g b num_x)
+                              (*) rot(V_c, s num_x),  g b num_x )
+
+    All rotations are batched: b pre-rotations of diagonal groups, g-1 baby
+    rotations of the whole V batch, b-1 giant rotations of partial sums.
+    """
+    m = num_row
+    assert x.data.shape[0] == m
+    g = int(np.ceil(np.sqrt(m)))
+    b = int(np.ceil(m / g))
+    q = ev.dev["q"][:x.n_q].reshape(-1, 1)
+    qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
+    # baby-rotated V batch: vb[s] = rot(V, s*num_x) — one hoisted sweep
+    vb_rot = ev.rotate_hoisted(v, [s * num_x for s in range(1, g)]) \
+        if g > 1 else None
+    vb = jnp.concatenate([v.data[None], vb_rot.data]) if vb_rot is not None \
+        else v.data[None]                                   # [g, dv, 2, L, N]
+    partials = []   # 3-poly [dv, 3, L, N] per giant group
+    for bi in range(b):
+        lo, hi = bi * g, min((bi + 1) * g, m)
+        grp = x.with_data(x.data[lo:hi])
+        if bi:
+            grp = ev.rotate(grp, -g * bi * num_x)           # pre-rotate group
+        ng = hi - lo
+        a0 = grp.data[:, None, 0, :, :]                     # [ng, 1, L, N]
+        a1 = grp.data[:, None, 1, :, :]
+        b0 = vb[:ng, :, 0, :, :]                            # [ng, dv, L, N]
+        b1 = vb[:ng, :, 1, :, :]
+        c0 = ma.mont_mul(a0, b0, q, qneg)
+        c1 = ma.add_mod(ma.mont_mul(a0, b1, q, qneg),
+                        ma.mont_mul(a1, b0, q, qneg), q)
+        c2 = ma.mont_mul(a1, b1, q, qneg)
+        prod = jnp.stack([c0, c1, c2], axis=-3)             # [ng, dv, 3, L, N]
+        partials.append(_sum_axis(prod, 0, q))              # [dv, 3, L, N]
+    stacked = Ciphertext(jnp.stack(partials), x.scale * v.scale, True)
+    rel = ev.relinearize(stacked)                           # [b, dv, 2, L, N]
+    total = None
+    for bi in range(b):
+        part = Ciphertext(rel.data[bi], rel.scale, True)
+        if bi:
+            part = ev.rotate(part, g * bi * num_x)          # giant step
+        total = part if total is None else \
+            part.with_data(ma.add_mod(total.data, part.data, q))
+    return ev.rescale(ev.rescale(total))

@@ -8,7 +8,7 @@ decrypt and compare against the plaintext computation within noise bounds.
 import numpy as np
 import pytest
 
-from moai_tpu.params import test_config, make_context
+from moai_tpu.params import test_config as _test_config, make_context
 from moai_tpu.encoder import Encoder
 from moai_tpu.keys import KeyGenerator
 from moai_tpu.encrypt import Encryptor, Decryptor
@@ -19,7 +19,7 @@ RNG = np.random.default_rng(42)
 
 @pytest.fixture(scope="module")
 def setup():
-    ctx = make_context(test_config())
+    ctx = make_context(_test_config())
     enc = Encoder(ctx)
     kg = KeyGenerator(ctx, seed=123)
     pk = kg.gen_public_key()
