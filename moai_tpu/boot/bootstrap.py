@@ -1,0 +1,160 @@
+"""CKKS bootstrapping: ModRaise -> CoeffToSlot -> EvalMod x2 -> SlotToCoeff.
+
+TPU-native counterpart of the reference Bootstrapper (reference:
+include/source/bootstrapping/Bootstrapper.cpp — bootstrap_full_3 :3231:
+modraise_inplace :2938, coefftoslot_full_3 :2742, 2x modular_reduction
+:3244, slottocoeff_full_3 :2760).  Differences:
+
+- ModRaise composes the n_q0 bottom limbs on-device with a float32
+  CRT-quotient estimate (exactness up to +-1 multiple of q0, absorbed by
+  EvalMod's +-K range), instead of SEAL's 64-bit centered lift loop.
+- CoeffToSlot/SlotToCoeff are single dense BSGS levels built from the
+  closed-form embedding inverse A^H/n (boot/linear.py) — 1 level each
+  instead of the reference's 3 — with the q0/(2*pi*Delta) and output
+  scale folded into the SlotToCoeff diagonals (the reference folds the
+  same constants in sfl_full_3, Bootstrapper.cpp:2481-2494).
+- Multiplication by i is a free negacyclic monomial multiply (X^n),
+  not a keyed operation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import mod_arith as ma
+from ..ciphertext import Ciphertext, Plaintext
+from ..evaluator import Evaluator
+from ..encoder import Encoder
+from ..ntt import ntt, intt
+from .linear import (apply_diagonals, matrix_diagonals, bsgs_steps,
+                     c2s_matrix, s2c_matrix)
+from .evalmod import ModReducer
+
+
+class Bootstrapper:
+    def __init__(self, ev: Evaluator, encoder: Encoder,
+                 mod_reducer: ModReducer | None = None,
+                 m_bound: float = 1.0, n_out: int | None = None):
+        self.ev, self.encoder = ev, encoder
+        ctx = ev.ctx
+        self.ctx = ctx
+        self.q0 = float(ctx.q0_product)
+        eps = m_bound * ctx.scale / self.q0
+        self.mr = mod_reducer if mod_reducer is not None else \
+            ModReducer(K=25, eps=max(eps, 2.0 ** -10))
+        self.c2s_diags = matrix_diagonals(c2s_matrix(encoder))
+        self.s2c_mat = s2c_matrix(encoder)
+        self._build_modraise_tables()
+        self._imono = None
+        self.n_out = n_out
+
+    # -- key planning ------------------------------------------------------
+    def galois_steps(self) -> list[int]:
+        n = self.encoder.slots
+        steps = set(bsgs_steps(sorted(self.c2s_diags.keys()), n))
+        steps |= set(bsgs_steps(list(range(n)), n))
+        return sorted(steps)
+
+    @property
+    def levels(self) -> int:
+        """Composite levels consumed: c2s 1 + evalmod + s2c 1."""
+        return 1 + self.mr.levels + 1
+
+    # -- ModRaise ----------------------------------------------------------
+    def _build_modraise_tables(self):
+        ctx = self.ctx
+        n0, L = ctx.n_q0, ctx.L
+        primes = ctx.q_primes
+        q0 = ctx.q0_product
+        hatinv = np.empty(n0, np.uint32)
+        hat_mm = np.empty((n0, L), np.uint32)
+        q0_mm = np.empty(L, np.uint32)
+        for i in range(n0):
+            qi = primes[i]
+            hat = q0 // qi
+            hatinv[i] = pow(hat % qi, -1, qi) * (1 << 32) % qi
+            for j in range(L):
+                qj = primes[j]
+                hat_mm[i, j] = (hat % qj) * pow(2, 64, qj) % qj
+        for j in range(L):
+            qj = primes[j]
+            q0_mm[j] = (q0 % qj) * pow(2, 64, qj) % qj
+        self._mr_hatinv = jnp.asarray(hatinv).reshape(-1, 1)
+        self._mr_hat_mm = jnp.asarray(hat_mm)
+        self._mr_q0_mm = jnp.asarray(q0_mm)
+        self._mr_qinv_f = jnp.asarray(
+            np.array([1.0 / primes[i] for i in range(n0)], np.float32)
+        ).reshape(-1, 1)
+
+    def modraise(self, ct: Ciphertext) -> Ciphertext:
+        """ct at the bottom n_q0 primes -> full chain; message becomes
+        m*Delta + q0*I (reference: modraise_inplace,
+        Bootstrapper.cpp:2938)."""
+        ev, ctx = self.ev, self.ctx
+        n0, L = ctx.n_q0, ctx.L
+        assert ct.n_q == n0
+        dv = ev.dev
+        q0v = dv["q"][:n0].reshape(-1, 1)
+        qneg0 = dv["qneg_inv"][:n0].reshape(-1, 1)
+        c = intt(ct.data, ev.tbd, limb_slice=(0, n0))
+        lam = ma.from_mont(ma.mont_mul(c, self._mr_hatinv, q0v, qneg0),
+                           q0v, qneg0)                     # true, [..,P,n0,N]
+        f = jnp.sum(lam.astype(jnp.float32) * self._mr_qinv_f, axis=-2)
+        k = jnp.round(f).astype(jnp.uint32)                # [..., P, N]
+        qL = dv["q"][:L].reshape(-1, 1)
+        qnegL = dv["qneg_inv"][:L].reshape(-1, 1)
+        acc = None
+        for i in range(n0):
+            hat = self._mr_hat_mm[i].reshape(-1, 1)        # [L, 1]
+            term = ma.mont_mul(lam[..., i:i + 1, :], hat, qL, qnegL)
+            acc = term if acc is None else ma.add_mod(acc, term, qL)
+        kq0 = ma.mont_mul(k[..., None, :], self._mr_q0_mm.reshape(-1, 1),
+                          qL, qnegL)
+        acc = ma.sub_mod(acc, kq0, qL)
+        out = ntt(acc, ev.tbd, limb_slice=(0, L))
+        return Ciphertext(out, ct.scale, True)
+
+    # -- multiply by i (free monomial X^n) ---------------------------------
+    def _i_mono(self, n_q: int) -> jnp.ndarray:
+        if self._imono is None or self._imono.shape[0] < self.ctx.L:
+            N = self.ctx.cfg.N
+            coeffs = np.zeros((self.ctx.L, N), np.uint32)
+            for j, qj in enumerate(self.ctx.q_primes):
+                coeffs[j, N // 2] = (1 << 32) % qj         # Montgomery 1
+            self._imono = ntt(jnp.asarray(coeffs), self.ev.tbd,
+                              limb_slice=(0, self.ctx.L))
+        return self._imono[:n_q]
+
+    def mul_i(self, ct: Ciphertext) -> Ciphertext:
+        """Multiply all slots by i = X^(N/2): exact, free (no key switch,
+        no level, no scale change)."""
+        ev = self.ev
+        q = ev.dev["q"][:ct.n_q].reshape(-1, 1)
+        qneg = ev.dev["qneg_inv"][:ct.n_q].reshape(-1, 1)
+        return ct.with_data(ma.mont_mul(ct.data, self._i_mono(ct.n_q),
+                                        q, qneg))
+
+    # -- full pipeline ------------------------------------------------------
+    def __call__(self, ct: Ciphertext) -> Ciphertext:
+        ev, enc, ctx = self.ev, self.encoder, self.ctx
+        delta_in = ct.scale
+        raised = self.modraise(ct)
+        z = apply_diagonals(ev, enc, raised, self.c2s_diags)
+        # reinterpret: slots now hold t = m*Delta_in/q0 + I at scale q0
+        t = ev.with_scale(z, self.q0 * z.scale / delta_in)
+        tc = ev.conjugate(t)
+        q = ev.dev["q"][:t.n_q].reshape(-1, 1)
+        t_r = t.with_data(ma.add_mod(t.data, tc.data, q))     # 2*Re(t)
+        t_i = self.mul_i(t.with_data(ma.sub_mod(tc.data, t.data, q)))  # 2*Im
+        y_r = self.mr(ev, t_r, pre_scale=0.5)
+        y_i = self.mr(ev, t_i, pre_scale=0.5)
+        w = ev.add(y_r, self.mul_i(y_i))
+        # fold q0/(2*pi*Delta_in) and the output scale into s2c diagonals
+        alpha = ctx.scale * self.q0 / (2 * np.pi * delta_in * w.scale)
+        s2c_diags = matrix_diagonals(self.s2c_mat * alpha)
+        out = apply_diagonals(ev, enc, w, s2c_diags)
+        out = ev.with_scale(out, ctx.scale)
+        if self.n_out is not None and out.n_q > self.n_out:
+            out = ev.mod_drop_to(out, self.n_out)
+        return out

@@ -1,0 +1,141 @@
+"""EvalMod: homomorphic x mod q0 via multi-interval minimax cosine +
+double-angle, and Chebyshev-basis ciphertext polynomial evaluation.
+
+TPU-native counterpart of the reference's ModularReducer + minimax stack
+(reference: include/source/bootstrapping/ModularReducer.{h,cpp} — cos
+minimax K=25/deg 59 + 2 double-angle steps + deg-1 arcsin folded into
+scaling; common/Remez.cpp NTL exchange solver; common/Polynomial.cpp:255
+homomorphic Chebyshev evaluation).  Differences:
+
+- The minimax fit runs in numpy float64 with Lawson-iterated weighted
+  least squares on the interval union (instead of a 1000-bit NTL Remez
+  exchange); accuracy is bounded by the CKKS noise floor (~2^-40), well
+  inside float64.
+- Chebyshev evaluation uses the T_{2j}=2T_j^2-1 / T_{2j+1}=2T_jT_{j+1}-T_1
+  recurrence ladder (log-depth); BSGS quotient/remainder is a later perf
+  upgrade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ciphertext import Ciphertext
+from ..evaluator import Evaluator
+
+
+def fit_cos_multi_interval(K: int, eps: float, degree: int,
+                           double_angles: int, n_grid_per: int = 64,
+                           lawson_iters: int = 12):
+    """Fit P(x), x in [-1,1], to cos(2*pi*scale*x) over the union of
+    intervals mapped from t in [i - eps, i + eps], |i| <= K, where
+    s = (t - 0.25)/2^double_angles and x = s / x_max, x_max =
+    (K + 0.5)/2^double_angles.  Returns (cheb_coeffs, x_max).
+
+    After ``double_angles`` applications of c <- 2c^2 - 1 the result is
+    cos(2*pi*(t - 0.25)) = sin(2*pi*t)  (the reference's RemezCos target,
+    RemezCos.h:13-17, with scale_factor=2 meaning 2 doublings).
+    """
+    da = 1 << double_angles
+    x_max = (K + 0.5) / da
+    xs = []
+    for i in range(-K, K + 1):
+        t = np.linspace(i - eps, i + eps, n_grid_per)
+        xs.append((t - 0.25) / da / x_max)
+    xs = np.concatenate(xs)
+    target = np.cos(2 * np.pi * (x_max * xs))
+    w = np.ones_like(xs)
+    V = np.polynomial.chebyshev.chebvander(xs, degree)
+    coef = None
+    for _ in range(lawson_iters):
+        sw = np.sqrt(w)
+        coef, *_ = np.linalg.lstsq(V * sw[:, None], target * sw, rcond=None)
+        err = np.abs(V @ coef - target)
+        w = w * (1e-12 + err)
+        w /= w.sum()
+    return coef, x_max
+
+
+def cheb_eval(ev: Evaluator, x: Ciphertext, coeffs: np.ndarray
+              ) -> Ciphertext:
+    """sum_k coeffs[k] T_k(x) for x in [-1, 1] (ciphertext).
+
+    T_k built by the doubling recurrence (depth ceil(log2 deg)+1), every
+    term landed at x.scale exactly, then a level-aligned sum.
+    (Reference: Polynomial::homomorphic_poly_evaluation,
+    common/Polynomial.cpp:255.)"""
+    coeffs = np.asarray(coeffs, np.float64)
+    deg = len(coeffs) - 1
+    target = x.scale
+    T: dict[int, Ciphertext] = {1: x}
+
+    def get(k: int) -> Ciphertext:
+        if k in T:
+            return T[k]
+        j = k // 2
+        if k % 2 == 0:
+            tj = get(j)
+            out = ev.add_const(ev.mul_int(ev.square_rescale(tj), 2), -1.0)
+        else:
+            a, b = get(j), get(j + 1)
+            ab = ev.mul_int(ev.mul_relin_rescale(a, b), 2)
+            ab2, t1 = ev.align(ab, x)
+            out = ev.sub(ab2, t1)
+        T[k] = out
+        return out
+
+    terms = []
+    for k in range(1, deg + 1):
+        if abs(coeffs[k]) < 1e-15:
+            continue
+        p = get(k)
+        terms.append(ev.rescale_pair(ev.mul_const_to(p, coeffs[k], target)))
+    n_min = min(t.n_q for t in terms)
+    acc = None
+    for t in terms:
+        t = ev.mod_drop_to(t, n_min)
+        acc = t if acc is None else ev.add(acc, t)
+    return ev.add_const(acc, float(coeffs[0]))
+
+
+class ModReducer:
+    """Homomorphic t -> sin(2*pi*t) for t = m*Delta/q0 + I, |I| <= K
+    (reference: ModularReducer::modular_reduction, ModularReducer.cpp:58).
+
+    The deg-1 arcsin step and the /(2*pi) are folded into downstream
+    scale bookkeeping by the Bootstrapper (the reference folds them into
+    SlotToCoeff coefficients, Bootstrapper.cpp:2481-2494)."""
+
+    def __init__(self, K: int = 25, eps: float = 2.0 ** -7,
+                 degree: int = 59, double_angles: int = 2):
+        self.K, self.eps = K, eps
+        self.degree, self.double_angles = degree, double_angles
+        self.coef, self.x_max = fit_cos_multi_interval(
+            K, eps, degree, double_angles)
+
+    @property
+    def levels(self) -> int:
+        """Composite levels consumed (input prescale + ladder + coeff
+        mult + double angles)."""
+        deg = self.degree
+        ladder = (deg.bit_length() - 1) + 1
+        return 1 + ladder + 1 + self.double_angles
+
+    def __call__(self, ev: Evaluator, t: Ciphertext,
+                 pre_scale: float = 1.0) -> Ciphertext:
+        """t (slots hold m*Delta/q0 + I, possibly pre-divided by
+        ``pre_scale``): returns ct whose slots are sin(2*pi*t) at the
+        evaluator's working scale.  ``pre_scale`` multiplies the input
+        first (used to fold the 1/2 of the real/imag split in for free)."""
+        da = 1 << self.double_angles
+        # x = (t - 0.25)/(da * x_max): one const mult + const add.  The
+        # multiply also drops the ciphertext from its reinterpreted scale
+        # (~q0) to the working scale Delta, keeping the ladder's squares
+        # scale-stable.
+        a = pre_scale / (da * self.x_max)
+        x = ev.rescale_pair(ev.mul_const_to(t, a, ev.ctx.scale))
+        x = ev.add_const(x, -0.25 / (da * self.x_max))
+        c = cheb_eval(ev, x, self.coef)
+        for _ in range(self.double_angles):
+            c = ev.add_const(ev.mul_int(ev.square_rescale(c), 2), -1.0)
+        return c

@@ -426,6 +426,81 @@ class Evaluator:
         """Alias of relinearize — already batched over leading axes."""
         return self.relinearize(a)
 
+    # -- integer & per-column constant helpers -----------------------------
+    def mul_int(self, a: Ciphertext, n: int) -> Ciphertext:
+        """Multiply by a small positive integer via binary doubling adds —
+        consumes NO level and leaves the scale unchanged (the reference
+        computes 768*x the same way, layernorm.hpp:194-212)."""
+        assert n >= 1
+        q = self._q(a.n_q)
+        acc = None
+        cur = a.data
+        while n:
+            if n & 1:
+                acc = cur if acc is None else ma.add_mod(acc, cur, q)
+            n >>= 1
+            if n:
+                cur = ma.add_mod(cur, cur, q)
+        return a.with_data(acc)
+
+    def mul_const_to(self, a: Ciphertext, value: float,
+                     target_scale: float) -> Ciphertext:
+        """Multiply by scalar, choosing the constant's encoding scale so that
+        after one level rescale the result lands EXACTLY at ``target_scale``
+        (kills composite-pair scale drift at every polynomial term)."""
+        pair = self.level_pair_scale(a.n_q)
+        const_scale = target_scale * pair / a.scale
+        return self.mul_const(a, value, const_scale=const_scale)
+
+    def _const_vec_residues_mont(self, values, scale: float, n_q: int):
+        """Per-leading-batch scalar constants: values [C] -> Montgomery
+        residues [C, 1, n_q, 1] broadcasting over (poly, slot) axes."""
+        v = np.round(np.asarray(values, np.float64) * scale).astype(object)
+        out = np.empty((len(v), n_q), dtype=np.uint32)
+        for i in range(n_q):
+            q = self.ctx.q_primes[i]
+            r = (1 << 32) % q
+            out[:, i] = np.array([(int(x) % q) * r % q for x in v], np.uint32)
+        return jnp.asarray(out)[:, None, :, None]
+
+    def mul_const_vec(self, a: Ciphertext, values,
+                      target_scale: float | None = None) -> Ciphertext:
+        """Per-column scalar multiply: a.data [C, P, n_q, N] x values [C].
+        The per-column gamma/beta of LayerNorm need no slot encoding — a
+        column's scalar broadcasts over all slots."""
+        pair = self.level_pair_scale(a.n_q)
+        target_scale = target_scale if target_scale is not None else a.scale
+        const_scale = target_scale * pair / a.scale
+        c = self._const_vec_residues_mont(values, const_scale, a.n_q)
+        out = ma.mont_mul(a.data, c, self._q(a.n_q), self._qneg(a.n_q))
+        return Ciphertext(out, a.scale * const_scale, a.is_ntt)
+
+    def add_const_vec(self, a: Ciphertext, values) -> Ciphertext:
+        c = self._const_vec_residues_mont(values, a.scale, a.n_q)[:, 0]
+        q = self._q(a.n_q)
+        c0 = ma.add_mod(a.data[..., 0, :, :], c, q)
+        return a.with_data(
+            jnp.concatenate([c0[..., None, :, :], a.data[..., 1:, :, :]],
+                            axis=-3))
+
+    def align(self, a: Ciphertext, b: Ciphertext
+              ) -> tuple[Ciphertext, Ciphertext]:
+        """Drop the deeper operand's extra primes so both share n_q."""
+        if a.n_q > b.n_q:
+            a = self.mod_drop_to(a, b.n_q)
+        elif b.n_q > a.n_q:
+            b = self.mod_drop_to(b, a.n_q)
+        return a, b
+
+    def mul_relin_rescale(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """One composite-level ct*ct multiply (align -> mul -> relin ->
+        rescale_pair)."""
+        a, b = self.align(a, b)
+        return self.rescale_pair(self.relinearize(self.multiply(a, b)))
+
+    def square_rescale(self, a: Ciphertext) -> Ciphertext:
+        return self.rescale_pair(self.relinearize(self.square(a)))
+
     # -- scale management -------------------------------------------------
     def with_scale(self, a: Ciphertext, scale: float) -> Ciphertext:
         """Explicit scale override (the reference's ``x.scale() = s`` resets,

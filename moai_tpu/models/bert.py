@@ -1,0 +1,273 @@
+"""Encrypted BERT-base encoder: attention head, transformer layer, model.
+
+TPU-native counterpart of the reference model layer (reference:
+include/source/att_block/single_att_block.hpp:10-206 and the inline
+transformer layer in include/test/test_full_scheme.hpp:484-1120).  The
+reference runs 12 heads sequentially with per-ciphertext OpenMP; here
+every stage is a batched call over a column axis, and heads are a loop of
+fully-batched stages (fused across heads in a later round).
+
+The bootstrap slot is a ``refresh(ct, n_q)`` callback so the same layer
+runs with the harness Recryptor (tests, SURVEY.md §7.3) or the real
+bootstrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import mod_arith as ma
+from ..ciphertext import Ciphertext
+from ..evaluator import Evaluator
+from ..encoder import Encoder
+from ..ops.matmul import CPMM, ccmm_col_to_diag, ccmm_diag_to_col, \
+    ccmm_col_steps, ccmm_diag_steps
+from ..ops.nonlinear import softmax_diag, layernorm, gelu, diag_valid_masks
+from ..ops.packing import bias_vec
+
+
+@dataclasses.dataclass
+class BertDims:
+    """Workload constants (reference: test_full_scheme.hpp:8-38)."""
+    num_x: int = 256          # interleaved batch size
+    num_row: int = 128        # max tokens per input
+    d_model: int = 768
+    num_heads: int = 12
+    head_dim: int = 64
+    d_inter: int = 3072
+
+
+@dataclasses.dataclass
+class BertLayerWeights:
+    """One encoder layer's parameters (float64 host arrays)."""
+    wq: np.ndarray            # [d_model, num_heads*head_dim]
+    bq: np.ndarray
+    wk: np.ndarray
+    bk: np.ndarray
+    wv: np.ndarray
+    bv: np.ndarray
+    wo: np.ndarray            # [d_model, d_model]
+    bo: np.ndarray
+    ln1_g: np.ndarray
+    ln1_b: np.ndarray
+    wi: np.ndarray            # [d_model, d_inter]
+    bi: np.ndarray
+    wf: np.ndarray            # [d_inter, d_model]
+    bf: np.ndarray
+    ln2_g: np.ndarray
+    ln2_b: np.ndarray
+
+
+def load_reference_layer(layer_id: int, dims: BertDims,
+                         root: str = "/root/reference/data",
+                         seed: int = 0) -> BertLayerWeights:
+    """Load biases/LayerNorm params from the reference golden data; the
+    weight matrices were stripped from the mirror (.MISSING_LARGE_BLOBS)
+    so they are synthesized deterministically at BERT-like magnitude."""
+    import os
+
+    def csv(path):
+        return np.loadtxt(path, delimiter=",", dtype=np.float64)
+
+    rng = np.random.default_rng(seed * 1000 + layer_id)
+
+    def synth(r, c, std):
+        return rng.normal(0.0, std, size=(r, c))
+
+    d, hh, di = dims.d_model, dims.num_heads * dims.head_dim, dims.d_inter
+    base = f"{root}/layer_{layer_id}"
+    sa = f"{base}/Attention/BertSelfAttention/parms"
+    so = f"{base}/Attention/SelfOutput/parms"
+    io = f"{base}/Intermediate/parms"
+    oo = f"{base}/Output/parms"
+    have = os.path.isdir(sa)
+    return BertLayerWeights(
+        wq=synth(d, hh, 0.036), bq=csv(f"{sa}/query_bias.csv") if have else
+        rng.normal(0, 0.02, hh),
+        wk=synth(d, hh, 0.036), bk=csv(f"{sa}/key_bias.csv") if have else
+        rng.normal(0, 0.02, hh),
+        wv=synth(d, hh, 0.036), bv=csv(f"{sa}/value_bias.csv") if have else
+        rng.normal(0, 0.02, hh),
+        wo=synth(d, d, 0.03),
+        bo=csv(f"{so}/self_output_dense_bias.csv") if have else
+        rng.normal(0, 0.02, d),
+        ln1_g=csv(f"{so}/self_output_LayerNorm_weight.csv") if have else
+        np.ones(d),
+        ln1_b=csv(f"{so}/self_output_LayerNorm_bias.csv") if have else
+        np.zeros(d),
+        wi=synth(d, di, 0.03),
+        bi=csv(f"{io}/intermediate_dense_bias.csv") if have else
+        rng.normal(0, 0.02, di),
+        wf=synth(di, d, 0.02),
+        bf=csv(f"{oo}/final_output_dense_bias.csv") if have else
+        rng.normal(0, 0.02, d),
+        ln2_g=csv(f"{oo}/final_output_LayerNorm_weight.csv") if have else
+        np.ones(d),
+        ln2_b=csv(f"{oo}/final_output_LayerNorm_bias.csv") if have else
+        np.zeros(d),
+    )
+
+
+# --------------------------------------------------------------------------
+# depth plan
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DepthPlan:
+    """Composite-level budget per stage (reference levels:
+    test_full_scheme.hpp:345-378 / SURVEY.md §2.5)."""
+    exp_r: int = 7            # exp squarings (8 levels with const mult)
+    inv_iters: int = 16       # softmax inverse depth (iters+1 levels)
+    ln_newton: int = 4
+    ln_gold: int = 2
+    gelu_degree: int = 24
+
+    @property
+    def softmax_pre(self) -> int:        # levels consumed before refresh
+        return self.exp_r + 2            # const+squarings + mask
+
+    @property
+    def attention_in(self) -> int:       # levels needed entering a head
+        # QK CPMM (1) + QKT CCMM (1) + softmax numerator path + AV (1)
+        return 1 + 1 + self.softmax_pre + 1 + 1
+
+
+class EncryptedAttention:
+    """All heads of one layer's self-attention (reference:
+    single_att_block.hpp:10 per head; the concat at
+    test_full_scheme.hpp:585-596)."""
+
+    def __init__(self, ev: Evaluator, encoder: Encoder, w: BertLayerWeights,
+                 dims: BertDims, plan: DepthPlan, n_att: int,
+                 input_lens, max_table: float,
+                 refresh: Callable[[Ciphertext, int], Ciphertext]):
+        self.ev, self.encoder = ev, encoder
+        self.dims, self.plan = dims, plan
+        self.refresh = refresh
+        self.max_val = max_table
+        ctx = ev.ctx
+        slots = ctx.cfg.slots
+        mask = bias_vec(input_lens, dims.num_x, dims.num_row, slots)
+        self.masks = diag_valid_masks(input_lens, dims.num_x, dims.num_row,
+                                      slots)
+        sqrt_d = np.sqrt(dims.head_dim)
+        # folding 1/sqrt(d) into W_Q and b_Q (reference:
+        # test_full_scheme.hpp:117-123,204-209)
+        self.q_mm = CPMM(ev, encoder, w.wq / sqrt_d, n_att,
+                         bias=w.bq / sqrt_d, mask=mask)
+        self.k_mm = CPMM(ev, encoder, w.wk, n_att, bias=w.bk, mask=mask)
+        # V is consumed at the post-softmax level: computed there directly
+        # (reference pre-mod-switches X for V, single_att_block.hpp:67-91)
+        self.n_v = self._post_softmax_nq(n_att)
+        self.v_mm = CPMM(ev, encoder, w.wv, self.n_v + 2, bias=w.bv,
+                         mask=mask)
+        self.n_att = n_att
+
+    def _post_softmax_nq(self, n_att: int) -> int:
+        # primes: QK costs 2, QKT 2, exp+mask 2*(exp_r+2), final mult 2
+        return n_att - 2 * (1 + 1 + self.plan.softmax_pre + 1)
+
+    def __call__(self, x: Ciphertext) -> Ciphertext:
+        ev, dims, plan = self.ev, self.dims, self.plan
+        q_all = self.q_mm(x)                       # [H*hd, 2, L, N]
+        k_all = self.k_mm(x)
+        xv = ev.mod_drop_to(x, self.n_v + 2)
+        v_all = self.v_mm(xv)                      # at n_v
+        outs = []
+        hd = dims.head_dim
+        for h in range(dims.num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = q_all.with_data(q_all.data[sl])
+            k = k_all.with_data(k_all.data[sl])
+            v = v_all.with_data(v_all.data[sl])
+            qkt = ccmm_col_to_diag(ev, q, k, dims.num_x, dims.num_row)
+            # inverse consumes inv_iters+1 levels; land it at e's level
+            n_refresh = min(ev.ctx.L,
+                            self.n_v + 2 + 2 * (plan.inv_iters + 1))
+            sm = softmax_diag(
+                ev, self.encoder, qkt, self.masks, self.max_val,
+                refresh=lambda ct: self.refresh(ct, n_refresh),
+                inv_iters=plan.inv_iters, out_n_q=self.n_v)
+            outs.append(ccmm_diag_to_col(ev, sm, v, dims.num_x,
+                                         dims.num_row))
+        data = jnp.concatenate([o.data for o in outs], axis=0)
+        return Ciphertext(data, outs[0].scale, True)  # [d_model, 2, L, N]
+
+
+class EncryptedBertLayer:
+    """One full transformer encoder layer (reference: inline loop body,
+    test_full_scheme.hpp:484-1120): attention -> W_O + bias -> refresh ->
+    residual -> LayerNorm -> refresh -> FFN -> GELU -> W_F -> refresh ->
+    residual -> LayerNorm -> refresh."""
+
+    def __init__(self, ev: Evaluator, encoder: Encoder, w: BertLayerWeights,
+                 dims: BertDims, plan: DepthPlan, input_lens,
+                 max_table: float,
+                 refresh: Callable[[Ciphertext, int], Ciphertext],
+                 ln1_domain=(0.05, 1.0), ln2_domain=(0.05, 1.0),
+                 gelu_domain: float = 13.0):
+        ctx = ev.ctx
+        self.ev, self.encoder = ev, encoder
+        self.dims, self.plan = dims, plan
+        self.refresh = refresh
+        slots = ctx.cfg.slots
+        mask = bias_vec(input_lens, dims.num_x, dims.num_row, slots)
+        # attention entry: head pipeline depth + 2-prime bottom margin
+        # (outputs never sit exactly on q0, where |m|*scale ~ q0/2)
+        self.n_att = min(ctx.L, ctx.n_q0 + 2 * plan.attention_in + 2)
+        self.attn = EncryptedAttention(ev, encoder, w, dims, plan,
+                                       self.n_att, input_lens, max_table,
+                                       refresh)
+        n_out = self.attn._post_softmax_nq(self.n_att) - 2
+        self.o_mm = CPMM(ev, encoder, w.wo, n_out, bias=w.bo, mask=mask)
+        # LayerNorm consumes 6 + 3*newton + 2*gold composite levels
+        ln_depth = 6 + 3 * plan.ln_newton + 2 * plan.ln_gold
+        self.n_ln1 = min(ctx.L, ctx.n_q0 + 2 * ln_depth + 2)
+        # GELU: prescale + power ladder + coefficient mult
+        deg = plan.gelu_degree
+        gelu_depth = 2 + (deg.bit_length() - 1) + (0 if deg & (deg - 1) == 0
+                                                   else 1)
+        self.n_ffn = min(ctx.L, ctx.n_q0 + 2 * (1 + gelu_depth + 1) + 2)
+        self.i_mm = CPMM(ev, encoder, w.wi, self.n_ffn, bias=w.bi, mask=mask)
+        self.f_mm = CPMM(ev, encoder, w.wf,
+                         self.n_ffn - 2 * (1 + gelu_depth),
+                         bias=w.bf, mask=mask)
+        self.w = w
+        self.ln1_domain, self.ln2_domain = ln1_domain, ln2_domain
+        self.gelu_domain = gelu_domain
+
+    def __call__(self, x: Ciphertext) -> Ciphertext:
+        """x: col-packed [d_model, 2, n_att, N] at the attention level."""
+        ev, plan = self.ev, self.plan
+        att = self.attn(x)                                   # [d, 2, *, N]
+        att = self.o_mm(att)
+        att = self.refresh(att, self.n_ln1 + 0)
+        resid = self.refresh(x, self.n_ln1)
+        q = ev.dev["q"][:att.n_q].reshape(-1, 1)
+        h = att.with_data(ma.add_mod(att.data, resid.data, q))
+        h = layernorm(ev, h, self.w.ln1_g, self.w.ln1_b, self.ln1_domain,
+                      plan.ln_newton, plan.ln_gold)
+        h = self.refresh(h, self.n_ffn)
+        boot_copy = h
+        f = self.i_mm(h)                                     # [d_inter, ...]
+        f = gelu(ev, f, domain=self.gelu_domain, degree=plan.gelu_degree)
+        f = self.f_mm(f)
+        f = self.refresh(f, self.n_ln1)
+        resid2 = self.refresh(boot_copy, self.n_ln1)
+        q = ev.dev["q"][:f.n_q].reshape(-1, 1)
+        h2 = f.with_data(ma.add_mod(f.data, resid2.data, q))
+        h2 = layernorm(ev, h2, self.w.ln2_g, self.w.ln2_b, self.ln2_domain,
+                       plan.ln_newton, plan.ln_gold)
+        return self.refresh(h2, self.n_att)
+
+
+def galois_steps_for_model(dims: BertDims) -> list[int]:
+    """Rotation-key step plan for the whole model (reference plans its
+    key set at test_full_scheme.hpp:436-443)."""
+    steps = set(ccmm_col_steps(dims.num_x, dims.num_row))
+    steps.update(ccmm_diag_steps(dims.num_x, dims.num_row))
+    return sorted(steps)

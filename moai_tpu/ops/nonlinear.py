@@ -1,0 +1,286 @@
+"""Polynomial nonlinearities: exp, inverse, rsqrt, GELU, softmax, LayerNorm.
+
+TPU-native counterparts of the reference nonlinear layer
+(reference: include/source/non_linear_func/softmax.hpp:9-580,
+layernorm.hpp:4-546, gelu_others.hpp:4-154).  Everything here is a pure
+composition of Evaluator primitives over *batched* ciphertexts — the
+reference's per-ciphertext OpenMP loops (e.g. 128 exp calls,
+softmax.hpp:408; 3072 gelu calls, test_full_scheme.hpp:884) are single
+batched calls on the leading axis.
+
+Design notes (not a port):
+- Scale drift is killed exactly: every polynomial term is driven to a
+  common target scale with Evaluator.mul_const_to, instead of the
+  reference's manual ``x.scale() = s`` resets (softmax.hpp:465).
+- Approximation coefficients (GELU polynomial, rsqrt init line) are FIT
+  HERE on host (numpy Chebyshev / minimax grid) rather than hard-coded,
+  so domains are explicit parameters.
+- The bootstrap slot is a ``refresh`` callback: the model layer passes the
+  real bootstrapper; tests pass a harness Recryptor (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import mod_arith as ma
+from ..ciphertext import Ciphertext, Plaintext
+from ..evaluator import Evaluator
+from ..encoder import Encoder
+from ..keys import _to_mont_host
+from ..ntt import ntt
+
+
+# --------------------------------------------------------------------------
+# host-side plaintext helper
+# --------------------------------------------------------------------------
+
+def encode_plain(ev: Evaluator, encoder: Encoder, vals, scale: float,
+                 n_q: int) -> Plaintext:
+    """Host-encode slot values -> NTT+Montgomery Plaintext at (scale, n_q)."""
+    res = encoder.encode(vals, scale=scale, n_q=n_q)
+    mont = _to_mont_host(res, ev.ctx.q_primes[:n_q])
+    return Plaintext(data=ntt(jnp.asarray(mont), ev.tbd, limb_slice=(0, n_q)),
+                     scale=scale)
+
+
+# --------------------------------------------------------------------------
+# scalar-function primitives
+# --------------------------------------------------------------------------
+
+def exp_taylor(ev: Evaluator, x: Ciphertext, r: int = 7) -> Ciphertext:
+    """exp(x) ~= (1 + x/2^r)^(2^r); r=7 -> 1 const-mult + 7 squarings =
+    8 composite levels (reference: exp, softmax.hpp:9-47).
+    Accurate for x <= 0 (softmax uses x - max)."""
+    y = ev.rescale_pair(ev.mul_const_to(x, 1.0 / (1 << r), x.scale))
+    y = ev.add_const(y, 1.0)
+    for _ in range(r):
+        y = ev.square_rescale(y)
+    return y
+
+
+def inverse_goldschmidt(ev: Evaluator, x: Ciphertext, iters: int = 16
+                        ) -> Ciphertext:
+    """1/x for x in (0, 2): y = 1-x; 1/x = prod_{i=0..iters} (1 + y^(2^i)).
+    iters+1 composite levels (reference: inverse, softmax.hpp:49-82)."""
+    y = ev.add_const(ev.negate(x), 1.0)
+    res = ev.add_const(y, 1.0)
+    for _ in range(iters):
+        y = ev.square_rescale(y)
+        res = ev.mul_relin_rescale(res, ev.add_const(y, 1.0))
+    return res
+
+
+def fit_rsqrt_line(lo: float, hi: float) -> tuple[float, float]:
+    """Host: near-minimax linear init a*x+b for 1/sqrt(x) on [lo, hi]
+    (reference hard-codes the line, layernorm.hpp:18-24; here it is fit
+    from the declared domain)."""
+    xs = np.linspace(lo, hi, 4097)
+    f = 1.0 / np.sqrt(xs)
+    a, b = np.polyfit(xs, f, 1)
+    # equioscillate: shift intercept to center the max error
+    err = f - (a * xs + b)
+    b += (err.max() + err.min()) / 2
+    return float(a), float(b)
+
+
+def invert_sqrt(ev: Evaluator, x: Ciphertext, domain: tuple[float, float],
+                newton_iters: int = 4, gold_iters: int = 2) -> Ciphertext:
+    """1/sqrt(x) on [lo, hi]: linear init + Newton y(1.5 - 0.5 x y^2) +
+    Goldschmidt coupled refinement (reference: initGuess/newtonIter/
+    goldSchmidtIter/invert_sqrt, layernorm.hpp:18-155).
+
+    Levels: 1 (init) + 1 (xh) + 3*newton + 1 (g) + 1 (h) + 2*gold.
+    """
+    a, b = fit_rsqrt_line(*domain)
+    s = x.scale
+    y = ev.add_const(ev.rescale_pair(ev.mul_const_to(x, a, s)), b)
+    xh = ev.rescale_pair(ev.mul_const_to(x, -0.5, s))      # -x/2, reused
+    for _ in range(newton_iters):
+        y2 = ev.square_rescale(y)
+        t = ev.add_const(ev.mul_relin_rescale(xh, y2), 1.5)
+        y = ev.mul_relin_rescale(y, t)
+    if gold_iters:
+        g = ev.mul_relin_rescale(x, y)                      # ~ sqrt(x)
+        h = ev.rescale_pair(ev.mul_const_to(y, 0.5, s))     # ~ 1/(2 sqrt x)
+        for _ in range(gold_iters):
+            r = ev.add_const(ev.negate(ev.mul_relin_rescale(g, h)), 0.5)
+            g = ev.add(*ev.align(g, ev.mul_relin_rescale(g, r)))
+            h = ev.add(*ev.align(h, ev.mul_relin_rescale(h, r)))
+        y = ev.mul_int(h, 2)
+    return y
+
+
+# --------------------------------------------------------------------------
+# polynomial evaluation (monomial basis, binary-power ladder)
+# --------------------------------------------------------------------------
+
+def _power(ev: Evaluator, pows: dict, k: int) -> Ciphertext:
+    if k in pows:
+        return pows[k]
+    h = 1 << (k.bit_length() - 1)
+    if h == k:
+        out = ev.square_rescale(_power(ev, pows, k // 2))
+    else:
+        out = ev.mul_relin_rescale(_power(ev, pows, h),
+                                   _power(ev, pows, k - h))
+    pows[k] = out
+    return out
+
+
+def poly_eval(ev: Evaluator, x: Ciphertext, coeffs: np.ndarray) -> Ciphertext:
+    """sum_k coeffs[k] * x^k with x in ~[-1, 1].  Binary-power ladder as in
+    the reference's square/mult chain (gelu_others.hpp:38-121), but every
+    term is landed at one exact common scale, then summed level-aligned."""
+    coeffs = np.asarray(coeffs, np.float64)
+    deg = len(coeffs) - 1
+    pows: dict[int, Ciphertext] = {1: x}
+    terms = []
+    target = x.scale
+    for k in range(1, deg + 1):
+        if coeffs[k] == 0.0:
+            continue
+        p = _power(ev, pows, k)
+        terms.append(ev.rescale_pair(ev.mul_const_to(p, coeffs[k], target)))
+    n_min = min(t.n_q for t in terms)
+    acc = None
+    for t in terms:
+        t = ev.mod_drop_to(t, n_min)
+        acc = t if acc is None else ev.add(acc, t)
+    return ev.add_const(acc, float(coeffs[0]))
+
+
+def fit_gelu_coeffs(domain: float = 13.0, degree: int = 24) -> np.ndarray:
+    """Host: Chebyshev LS fit of GELU on [-domain, domain], returned as
+    monomial coefficients in u = x/domain (the reference hard-codes a
+    degree-24 monomial polynomial with an s0=0.1 prescale,
+    gelu_others.hpp:23-35; here the fit is generated)."""
+    k = np.arange(8192)
+    xs = np.cos(np.pi * (k + 0.5) / len(k)) * domain
+    from scipy.special import erf  # available via jax deps
+    g = 0.5 * xs * (1.0 + erf(xs / np.sqrt(2.0)))
+    c = np.polynomial.chebyshev.chebfit(xs / domain, g, degree)
+    return np.polynomial.chebyshev.cheb2poly(c)
+
+
+def gelu(ev: Evaluator, x: Ciphertext, domain: float = 13.0,
+         degree: int = 24, _cache: dict = {}) -> Ciphertext:
+    """GELU(x) on [-domain, domain]; 1 (prescale) + ceil(log2 deg)+1 + 1
+    composite levels (reference: gelu_v2, gelu_others.hpp:4-154)."""
+    key = (domain, degree)
+    if key not in _cache:
+        _cache[key] = fit_gelu_coeffs(domain, degree)
+    u = ev.rescale_pair(ev.mul_const_to(x, 1.0 / domain, x.scale))
+    return poly_eval(ev, u, _cache[key])
+
+
+# --------------------------------------------------------------------------
+# LayerNorm
+# --------------------------------------------------------------------------
+
+def _sum_leading(data, q):
+    n = data.shape[0]
+    while n > 1:
+        half = n // 2
+        ext = ma.add_mod(data[:half], data[half:2 * half], q)
+        data = ext if n % 2 == 0 else \
+            jnp.concatenate([ext, data[2 * half:]], axis=0)
+        n = data.shape[0]
+    return data[0]
+
+
+def layernorm(ev: Evaluator, x: Ciphertext, gamma: np.ndarray,
+              beta: np.ndarray, var_domain: tuple[float, float],
+              newton_iters: int = 4, gold_iters: int = 2) -> Ciphertext:
+    """Per-slot (= per token) LayerNorm over the leading column axis C:
+        y_j = gamma_j * (x_j - mu)/sigma + beta_j.
+
+    With d_j = C*x_j - sum(x) (no level: integer doubling + free column
+    sum), S = sum_j d_j^2:  (x_j - mu)/sigma = sqrt(C) * d_j / sqrt(S).
+    ``var_domain`` is the expected range of S (reference normalizes by
+    hard-coded 1/768^3 constants, layernorm.hpp:240-295; here the domain
+    is explicit and folded into the rsqrt init).
+
+    Reference: layernorm/layernorm2, layernorm.hpp:157-546 — one rsqrt
+    shared by all C columns, as here (the rsqrt runs on a single
+    unbatched ciphertext).
+    """
+    C = x.data.shape[0]
+    q = ev.dev["q"][:x.n_q].reshape(-1, 1)
+    u = _sum_leading(x.data, q)                            # [P, L, N]
+    nx = ev.mul_int(x, C)
+    d = x.with_data(ma.sub_mod(nx.data, u[None], q))       # C x_j - u
+    s2 = ev.square_rescale(d)                              # batched squares
+    S = Ciphertext(_sum_leading(s2.data, ev.dev["q"][:s2.n_q].reshape(-1, 1)),
+                   s2.scale, True)
+    lo, hi = var_domain
+    c = 1.0 / hi                                           # S*c in (lo/hi, 1]
+    Sn = ev.rescale_pair(ev.mul_const_to(S, c, S.scale))
+    rs = invert_sqrt(ev, Sn, (lo / hi, 1.0), newton_iters, gold_iters)
+    # y_j = d_j * rs * (gamma_j * sqrt(C) * sqrt(c)) + beta_j
+    dn, rsn = ev.align(d, rs)
+    prod = ev.mul_relin_rescale(dn, rs.with_data(
+        jnp.broadcast_to(rsn.data[None], dn.data.shape)))
+    gscale = np.asarray(gamma, np.float64) * np.sqrt(C) * np.sqrt(c)
+    out = ev.rescale_pair(ev.mul_const_vec(prod, gscale, prod.scale))
+    return ev.add_const_vec(out, np.asarray(beta, np.float64))
+
+
+# --------------------------------------------------------------------------
+# Softmax over diagonal-packed attention scores
+# --------------------------------------------------------------------------
+
+def diag_valid_masks(input_lens, num_x: int, num_row: int, slots: int
+                     ) -> np.ndarray:
+    """[num_row, slots] 0/1: slot num_x*k+j of diagonal d is valid iff
+    row k < len_j and (k+d) mod num_row < len_j (the reference's three
+    tracing-vector edge cases, softmax.hpp:340-391, unified)."""
+    lens = np.asarray(input_lens)
+    masks = np.zeros((num_row, slots))
+    for d in range(num_row):
+        k = np.arange(num_row)
+        col = (k + d) % num_row
+        for j in range(len(lens)):
+            ok = (k < lens[j]) & (col < lens[j])
+            masks[d, num_x * k[ok] + j] = 1.0
+    return masks
+
+
+def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
+                 masks: np.ndarray, max_val: float,
+                 refresh: Callable[[Ciphertext], Ciphertext],
+                 sum_scale: float | None = None, inv_iters: int = 16,
+                 eps: float = 1e-5, out_n_q: int | None = None) -> Ciphertext:
+    """Softmax over num_row diagonal-packed score ciphertexts (leading axis).
+
+    Pipeline (reference: softmax_boot, softmax.hpp:308-580):
+      x - max_val (masked, free) -> exp (8 lv) -> mask*(1/sum_scale) (1 lv)
+      -> column-sum + eps (free) -> refresh (bootstrap/recrypt the ONE sum
+      ciphertext) -> Goldschmidt inverse (iters+1 lv) -> exp * inv (1 lv).
+
+    ``sum_scale`` normalizes the exp-sum into (0, 2) for the inverse;
+    defaults to num_row (max possible sum of exp(x-max) <= 1 terms).
+    """
+    R = masks.shape[0]
+    if sum_scale is None:
+        sum_scale = float(R)
+    neg_max = encode_plain(ev, encoder, -max_val * masks, x.scale, x.n_q)
+    x1 = ev.add_plain(x, neg_max)
+    e = exp_taylor(ev, x1)
+    pair = ev.level_pair_scale(e.n_q)
+    mask_pt = encode_plain(ev, encoder, masks / sum_scale, pair, e.n_q)
+    e = ev.rescale_pair(ev.multiply_plain(e, mask_pt))
+    s = Ciphertext(_sum_leading(e.data, ev.dev["q"][:e.n_q].reshape(-1, 1)),
+                   e.scale, True)
+    s = ev.add_const(s, eps / sum_scale)
+    s = refresh(s)
+    inv = inverse_goldschmidt(ev, s, inv_iters)
+    en, invn = ev.align(e, inv)
+    out = ev.mul_relin_rescale(
+        en, invn.with_data(jnp.broadcast_to(invn.data[None], en.data.shape)))
+    if out_n_q is not None and out.n_q > out_n_q:
+        out = ev.mod_drop_to(out, out_n_q)
+    return out

@@ -264,15 +264,20 @@ def test_config() -> CKKSConfig:
 
 
 def bench_config_n15() -> CKKSConfig:
-    """BASELINE.json config 1: mult+rescale+rotation at N=2^15."""
-    return CKKSConfig(logN=15, q0_bits=(30.0, 21.0), data_pair_bits=26.0,
+    """BASELINE.json config 1: mult+rescale+rotation at N=2^15.
+
+    q0 = 60 bits > composite scale (2^52) + headroom 2^7, so messages
+    |m| < ~64 survive at the bottom level (the reference keeps
+    logq0=51 > logp=46 for the same reason, test_full_scheme.hpp:345)."""
+    return CKKSConfig(logN=15, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
                       n_data_levels=8, n_boot_levels=0, dnum=3,
                       hamming_weight=192)
 
 
 def flagship_config() -> CKKSConfig:
     """Full MOAI-equivalent chain: 20 data levels + 14 boot levels at N=2^16
-    (reference: test/test_full_scheme.hpp:345-378)."""
-    return CKKSConfig(logN=16, q0_bits=(30.0, 21.0), data_pair_bits=26.0,
+    (reference: test/test_full_scheme.hpp:345-378).  q0 = 60 bits (see
+    bench_config_n15 note)."""
+    return CKKSConfig(logN=16, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
                       n_data_levels=20, boot_pair_bits=29.0, n_boot_levels=14,
                       dnum=6, hamming_weight=192)
