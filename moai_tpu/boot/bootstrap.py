@@ -28,14 +28,22 @@ from ..evaluator import Evaluator
 from ..encoder import Encoder
 from ..ntt import ntt, intt
 from .linear import (apply_diagonals, matrix_diagonals, bsgs_steps,
-                     c2s_matrix, s2c_matrix)
+                     c2s_matrix, s2c_matrix, c2s_apply_levels,
+                     s2c_apply_levels, group_apply_levels)
 from .evalmod import ModReducer
 
 
 class Bootstrapper:
     def __init__(self, ev: Evaluator, encoder: Encoder,
                  mod_reducer: ModReducer | None = None,
-                 m_bound: float = 1.0, n_out: int | None = None):
+                 m_bound: float = 1.0, n_out: int | None = None,
+                 lt_group: int | None = None):
+        """``lt_group``: 0 = dense single-level CoeffToSlot/SlotToCoeff
+        (1 level each, n diagonal plaintexts — test scale only); k>0 =
+        radix-factored levels grouped k butterflies per level (memory
+        ~2^k diagonals per level; the reference's 3-level split
+        corresponds to k = ceil(log2 n / 3)).  Default: dense for
+        n <= 512, else 3 grouped levels."""
         self.ev, self.encoder = ev, encoder
         ctx = ev.ctx
         self.ctx = ctx
@@ -43,8 +51,19 @@ class Bootstrapper:
         eps = m_bound * ctx.scale / self.q0
         self.mr = mod_reducer if mod_reducer is not None else \
             ModReducer(K=25, eps=max(eps, 2.0 ** -10))
-        self.c2s_diags = matrix_diagonals(c2s_matrix(encoder))
-        self.s2c_mat = s2c_matrix(encoder)
+        n = encoder.slots
+        logn = n.bit_length() - 1
+        if lt_group is None:
+            lt_group = 0 if n <= 512 else -(-logn // 3)
+        self.lt_group = lt_group
+        if lt_group == 0:
+            self.c2s_levels = [matrix_diagonals(c2s_matrix(encoder))]
+            self.s2c_levels = [matrix_diagonals(s2c_matrix(encoder))]
+        else:
+            self.c2s_levels = group_apply_levels(c2s_apply_levels(encoder),
+                                                 lt_group)
+            self.s2c_levels = group_apply_levels(s2c_apply_levels(encoder),
+                                                 lt_group)
         self._build_modraise_tables()
         self._imono = None
         self.n_out = n_out
@@ -52,14 +71,15 @@ class Bootstrapper:
     # -- key planning ------------------------------------------------------
     def galois_steps(self) -> list[int]:
         n = self.encoder.slots
-        steps = set(bsgs_steps(sorted(self.c2s_diags.keys()), n))
-        steps |= set(bsgs_steps(list(range(n)), n))
+        steps: set[int] = set()
+        for lev in self.c2s_levels + self.s2c_levels:
+            steps |= set(bsgs_steps(sorted(lev.keys()), n))
         return sorted(steps)
 
     @property
     def levels(self) -> int:
-        """Composite levels consumed: c2s 1 + evalmod + s2c 1."""
-        return 1 + self.mr.levels + 1
+        """Composite levels consumed: c2s + evalmod + s2c."""
+        return len(self.c2s_levels) + self.mr.levels + len(self.s2c_levels)
 
     # -- ModRaise ----------------------------------------------------------
     def _build_modraise_tables(self):
@@ -140,8 +160,13 @@ class Bootstrapper:
         ev, enc, ctx = self.ev, self.encoder, self.ctx
         delta_in = ct.scale
         raised = self.modraise(ct)
-        z = apply_diagonals(ev, enc, raised, self.c2s_diags)
+        z = raised
+        for lev in self.c2s_levels:
+            z = apply_diagonals(ev, enc, z, lev)
         # reinterpret: slots now hold t = m*Delta_in/q0 + I at scale q0
+        # (coefficients arrive bit-reversed in the factored path; EvalMod
+        # is pointwise and SlotToCoeff consumes the same order, so the
+        # permutation cancels)
         t = ev.with_scale(z, self.q0 * z.scale / delta_in)
         tc = ev.conjugate(t)
         q = ev.dev["q"][:t.n_q].reshape(-1, 1)
@@ -150,11 +175,39 @@ class Bootstrapper:
         y_r = self.mr(ev, t_r, pre_scale=0.5)
         y_i = self.mr(ev, t_i, pre_scale=0.5)
         w = ev.add(y_r, self.mul_i(y_i))
-        # fold q0/(2*pi*Delta_in) and the output scale into s2c diagonals
+        # fold q0/(2*pi*Delta_in) and the output scale into the LAST
+        # SlotToCoeff level's diagonals (reference: sfl_full_3,
+        # Bootstrapper.cpp:2481-2494)
         alpha = ctx.scale * self.q0 / (2 * np.pi * delta_in * w.scale)
-        s2c_diags = matrix_diagonals(self.s2c_mat * alpha)
-        out = apply_diagonals(ev, enc, w, s2c_diags)
+        out = w
+        for i, lev in enumerate(self.s2c_levels):
+            if i == len(self.s2c_levels) - 1:
+                lev = {d: v * alpha for d, v in lev.items()}
+            out = apply_diagonals(ev, enc, out, lev)
         out = ev.with_scale(out, ctx.scale)
         if self.n_out is not None and out.n_q > self.n_out:
             out = ev.mod_drop_to(out, self.n_out)
         return out
+
+
+def make_refresh(bt: Bootstrapper, m_bound: float = 1.0):
+    """Adapt a Bootstrapper to the model layers' ``refresh(ct, n_q)``
+    callback (models/bert.py).  ``m_bound``: values are reinterpreted to
+    |m| <= 1 by declaring scale*m_bound before the bootstrap and undoing
+    it after — free, but the PHYSICAL EvalMod interval width is
+    |v|/q0 = |m|*Delta/q0, so callers must keep |m|*Delta*2^-? within the
+    ModReducer's eps (fold real normalization into adjacent plaintext
+    constants: LayerNorm gamma before a bootstrap, the next matmul's
+    weights after — the reference manages data ranges the same way)."""
+    ev = bt.ev
+
+    def refresh(ct, n_q):
+        x = ev.mod_drop_to(ct, bt.ctx.n_q0)
+        x = ev.with_scale(x, x.scale * m_bound)
+        out = bt(x)
+        out = ev.with_scale(out, out.scale / m_bound)
+        if out.n_q > n_q:
+            out = ev.mod_drop_to(out, n_q)
+        return out
+
+    return refresh

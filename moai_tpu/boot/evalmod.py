@@ -79,8 +79,8 @@ def cheb_eval(ev: Evaluator, x: Ciphertext, coeffs: np.ndarray
         else:
             a, b = get(j), get(j + 1)
             ab = ev.mul_int(ev.mul_relin_rescale(a, b), 2)
-            ab2, t1 = ev.align(ab, x)
-            out = ev.sub(ab2, t1)
+            t1 = ev.match_scale(x, ab.scale)   # exact-scale T_1 copy
+            out = ev.sub(*ev.align(ab, t1))
         T[k] = out
         return out
 

@@ -143,3 +143,122 @@ def s2c_matrix(encoder: Encoder) -> np.ndarray:
     """SlotToCoeff: slots = A @ u (reference: slottocoeff_full_3,
     Bootstrapper.cpp:2760)."""
     return embedding_matrix(encoder)
+
+
+# --------------------------------------------------------------------------
+# Radix-2 factorization (memory-feasible at full scale)
+#
+# Dense C2S/S2C needs n diagonal plaintexts — infeasible at n = 2^15.
+# The embedding matrix factors by the classic even/odd split: with
+# exps[j] = 5^j mod 2N,  exps[j + m/2] = (N+1) * exps[j], so the twiddle of
+# the upper half is the negation of the lower's and each split is one
+# 2-diagonal butterfly in slot space.  The even/odd column permutations
+# accumulate to a bit-reversal Pi that is NEVER applied: CoeffToSlot
+# produces coefficients in bit-reversed order, EvalMod is slot-pointwise,
+# and SlotToCoeff (same recursion) consumes the same order, so Pi cancels
+# inside the bootstrap (the reference's 3-level genfftcoeff_3 /
+# geninvfftcoeff_3 coefficients, Bootstrapper.cpp:1144/1552, encode the
+# same cancellation).
+# --------------------------------------------------------------------------
+
+def _s2c_butterflies(encoder: Encoder) -> list[dict[int, np.ndarray]]:
+    """Butterfly factors in MATRIX order:  A = B_0 @ B_1 @ ... @ B_{k-1}
+    (up to the column bit-reversal Pi, never materialized); each B is
+    {diag_index: vec[n]} with exactly 2 diagonals {0, block/2}."""
+    n = encoder.slots
+    two_n = 2 * encoder.N
+    levels = []
+    exps = [np.array(encoder.rot_group % two_n, dtype=np.int64)]
+    m = n
+    while m > 1:
+        m2 = m // 2
+        d0 = np.zeros(n, complex)
+        dp = np.zeros(n, complex)            # diagonal +m2 (lower rows)
+        dm = np.zeros(n, complex)            # diagonal -m2 (upper rows)
+        new_exps = []
+        for b, e in enumerate(exps):
+            base = b * m
+            w = np.exp(1j * np.pi * (e[:m2] % two_n) / encoder.N)
+            d0[base: base + m2] = 1.0        # B[j, j] = 1
+            d0[base + m2: base + m] = -w     # B[j+m2, j+m2] = -w_j
+            dp[base: base + m2] = w          # B[j, j+m2] = w_j
+            dm[base + m2: base + m] = 1.0    # B[j+m2, j] = 1
+            half = 2 * e[:m2] % two_n
+            new_exps.extend([half, half.copy()])
+        lev = {0: d0}
+        if m2 % n == (n - m2) % n:           # first level: +m2 == -m2 mod n
+            lev[m2 % n] = dp + dm
+        else:
+            lev[m2] = dp
+            lev[n - m2] = dm
+        levels.append(lev)
+        exps = new_exps
+        m //= 2
+    return levels
+
+
+def _invert_butterfly(lev: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+    """Inverse of one butterfly level (again 3 diagonals {0, +-m2}):
+    per block pair, [[1, w],[1, -w]]^-1 = 0.5*[[1, 1],[1/w, -1/w]]."""
+    n = len(lev[0])
+    m2 = min(d for d in lev if d != 0)
+    w_vec = lev[m2]                           # w on lower rows of diag +m2
+    inv0 = np.zeros(n, complex)
+    invp = np.zeros(n, complex)               # diag +m2 of the inverse
+    invm = np.zeros(n, complex)               # diag -m2 of the inverse
+    for base in range(0, n, 2 * m2):
+        w = w_vec[base: base + m2]
+        inv0[base: base + m2] = 0.5           # [j, j]
+        invp[base: base + m2] = 0.5           # [j, j+m2]
+        invm[base + m2: base + 2 * m2] = 0.5 / w      # [j+m2, j]
+        inv0[base + m2: base + 2 * m2] = -0.5 / w     # [j+m2, j+m2]
+    out = {0: inv0}
+    if m2 % n == (n - m2) % n:
+        out[m2] = invp + invm
+    else:
+        out[m2] = invp
+        out[n - m2] = invm
+    return out
+
+
+def s2c_apply_levels(encoder: Encoder) -> list[dict[int, np.ndarray]]:
+    """SlotToCoeff factor levels in APPLICATION order (apply list[0]
+    first to the ciphertext):  slots = B_0 ... B_{k-1} u_bitrev, so the
+    rightmost factor B_{k-1} is applied first."""
+    return list(reversed(_s2c_butterflies(encoder)))
+
+
+def c2s_apply_levels(encoder: Encoder) -> list[dict[int, np.ndarray]]:
+    """CoeffToSlot factor levels in APPLICATION order:
+    u_bitrev = B_{k-1}^-1 ... B_0^-1 slots — apply B_0^-1 first."""
+    return [_invert_butterfly(l) for l in _s2c_butterflies(encoder)]
+
+
+def compose_diagonals(A: dict, B: dict, n: int) -> dict:
+    """Diagonal form of A @ B: (A@B)[i, i+da+db] += A[i,i+da]*B[i+da, ...]."""
+    out: dict[int, np.ndarray] = {}
+    for da, va in A.items():
+        for db, vb in B.items():
+            d = (da + db) % n
+            term = va * np.roll(vb, -da)
+            if d in out:
+                out[d] = out[d] + term
+            else:
+                out[d] = term.copy()
+    return {d: v for d, v in out.items() if np.max(np.abs(v)) > 1e-14}
+
+
+def group_apply_levels(levels: list[dict[int, np.ndarray]], group: int
+                       ) -> list[dict[int, np.ndarray]]:
+    """Merge ``group`` consecutive APPLICATION-order levels into one
+    multi-diagonal level (depth vs diagonal-count tradeoff; the reference
+    groups its log n FFT into 3 BSGS levels, Bootstrapper.cpp:1144).
+    Application order means later levels multiply from the LEFT."""
+    n = len(next(iter(levels[0].values())))
+    grouped = []
+    for i in range(0, len(levels), group):
+        acc = levels[i]
+        for j in range(i + 1, min(i + group, len(levels))):
+            acc = compose_diagonals(levels[j], acc, n)
+        grouped.append(acc)
+    return grouped

@@ -492,6 +492,17 @@ class Evaluator:
             b = self.mod_drop_to(b, a.n_q)
         return a, b
 
+    def match_scale(self, a: Ciphertext, target_scale: float) -> Ciphertext:
+        """Bring ``a`` to EXACTLY ``target_scale`` by multiplying with a
+        constant 1.0 encoded at the reconciling scale, consuming one of
+        a's spare levels (OpenFHE-style scale adjustment).  Needed before
+        adding/subtracting ciphertexts from different rescale chains:
+        26-bit composite pairs drift up to ~1% per level, far above the
+        addition tolerance."""
+        if abs(a.scale - target_scale) <= 1e-9 * target_scale:
+            return a
+        return self.rescale_pair(self.mul_const_to(a, 1.0, target_scale))
+
     def mul_relin_rescale(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """One composite-level ct*ct multiply (align -> mul -> relin ->
         rescale_pair)."""

@@ -107,9 +107,12 @@ def invert_sqrt(ev: Evaluator, x: Ciphertext, domain: tuple[float, float],
         g = ev.mul_relin_rescale(x, y)                      # ~ sqrt(x)
         h = ev.rescale_pair(ev.mul_const_to(y, 0.5, s))     # ~ 1/(2 sqrt x)
         for _ in range(gold_iters):
-            r = ev.add_const(ev.negate(ev.mul_relin_rescale(g, h)), 0.5)
-            g = ev.add(*ev.align(g, ev.mul_relin_rescale(g, r)))
-            h = ev.add(*ev.align(h, ev.mul_relin_rescale(h, r)))
+            # g <- g*(1+r), h <- h*(1+r): pure products — adds of
+            # differently-rescaled ciphertexts would hit composite-pair
+            # scale drift (26-bit prime granularity)
+            r1 = ev.add_const(ev.negate(ev.mul_relin_rescale(g, h)), 1.5)
+            g = ev.mul_relin_rescale(g, r1)
+            h = ev.mul_relin_rescale(h, r1)
         y = ev.mul_int(h, 2)
     return y
 

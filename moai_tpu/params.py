@@ -275,9 +275,11 @@ def bench_config_n15() -> CKKSConfig:
 
 
 def flagship_config() -> CKKSConfig:
-    """Full MOAI-equivalent chain: 20 data levels + 14 boot levels at N=2^16
-    (reference: test/test_full_scheme.hpp:345-378).  q0 = 60 bits (see
-    bench_config_n15 note)."""
+    """Full MOAI-equivalent chain at N=2^16: 20 data levels + 16 boot
+    levels (the reference uses 14 boot levels, test_full_scheme.hpp:
+    345-378; our pipeline spends 3 CoeffToSlot + 10 EvalMod + 3
+    SlotToCoeff composite levels).  q0 = 60 bits (see bench_config_n15
+    note)."""
     return CKKSConfig(logN=16, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
-                      n_data_levels=20, boot_pair_bits=29.0, n_boot_levels=14,
+                      n_data_levels=20, boot_pair_bits=29.0, n_boot_levels=16,
                       dnum=6, hamming_weight=192)

@@ -99,3 +99,64 @@ def test_bootstrap_end_to_end(setup):
     err = np.max(np.abs(got.real - v))
     assert err < 5e-4, err
     assert np.max(np.abs(got.imag)) < 5e-4
+
+
+def test_factor_levels_host(setup):
+    """Radix factorization: product of butterfly levels == A @ Pi for a
+    permutation Pi; c2s and s2c levels compose to the identity; grouping
+    preserves the product."""
+    from moai_tpu.boot.linear import (s2c_apply_levels, c2s_apply_levels,
+                                      group_apply_levels)
+    ctx, enc, *_ = setup
+    n = enc.slots
+
+    def dense(lev):
+        M = np.zeros((n, n), complex)
+        idx = np.arange(n)
+        for d, v in lev.items():
+            M[idx, (idx + d) % n] = v
+        return M
+
+    def product(levels):
+        P = np.eye(n, dtype=complex)
+        for L in levels:
+            P = dense(L) @ P
+        return P
+
+    s2c = s2c_apply_levels(enc)
+    c2s = c2s_apply_levels(enc)
+    P_s2c, P_c2s = product(s2c), product(c2s)
+    A = embedding_matrix(enc)
+    Pi = A.conj().T @ P_s2c / n
+    oh = np.abs(Pi) > 0.5
+    assert (oh.sum(0) == 1).all() and (oh.sum(1) == 1).all()
+    assert np.allclose(Pi[oh], 1, atol=1e-8)
+    assert np.allclose(P_s2c @ P_c2s, np.eye(n), atol=1e-7)
+    assert np.allclose(product(group_apply_levels(s2c, 3)), P_s2c,
+                       atol=1e-7)
+    assert np.allclose(product(group_apply_levels(c2s, 3)), P_c2s,
+                       atol=1e-7)
+
+
+@pytest.mark.slow
+def test_bootstrap_factored():
+    """Full pipeline with radix-factored (grouped) linear transforms —
+    the memory-feasible configuration for flagship n."""
+    cfg = CKKSConfig(logN=9, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
+                     n_data_levels=19, n_boot_levels=0, dnum=7,
+                     special_bits=29.5, hamming_weight=64)
+    ctx = make_context(cfg)
+    enc = Encoder(ctx)
+    kg = KeyGenerator(ctx, seed=202)
+    encryptor = Encryptor(ctx, enc, kg.gen_public_key(), kg)
+    decryptor = Decryptor(ctx, enc, kg.sk)
+    ev = Evaluator(ctx, relin_key=kg.gen_relin_key())
+    bt = Bootstrapper(ev, enc, lt_group=2)
+    ev.galois_keys = kg.gen_galois_keys(steps=bt.galois_steps(),
+                                        conjugate=True)
+    v = RNG.uniform(-0.8, 0.8, ctx.cfg.slots)
+    ct = encryptor.encrypt_values(v, n_q=ctx.n_q0)
+    out = bt(ct)
+    got = decryptor.decrypt(out)
+    err = np.max(np.abs(got.real - v))
+    assert err < 5e-4, err
