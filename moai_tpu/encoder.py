@@ -85,8 +85,22 @@ class Encoder:
             vals = np.concatenate([vals.astype(np.complex128), pad], axis=-1)
         coeffs = self.slots_to_coeffs(vals) * scale
         rounded = np.round(coeffs)
-        assert np.abs(rounded).max() < 2 ** 62, \
-            "encoded coefficient overflows int64 fast path"
+        if np.abs(rounded).max() >= 2 ** 62:
+            # exact big-int path (native C++; reference: SEAL's big-int
+            # rounding fallback in CKKSEncoder::encode_internal,
+            # ckks.h:457-560) — doubles are exact integers at any
+            # magnitude, reduced per-prime with 128-bit mulmod.
+            from . import native
+            if native.available():
+                return native.encode_residues(rounded,
+                                              ctx.q_primes[:n_q])
+            flat = rounded.reshape(-1)
+            out = np.empty((n_q, flat.size), dtype=np.uint32)
+            for i in range(n_q):
+                q = ctx.q_primes[i]
+                out[i] = [int(c) % q for c in flat]
+            return np.moveaxis(
+                out.reshape((n_q,) + rounded.shape), 0, -2)
         c_int = rounded.astype(np.int64)
         out = np.empty(vals.shape[:-1] + (n_q, self.N), dtype=np.uint32)
         for i in range(n_q):
@@ -117,6 +131,19 @@ class Encoder:
             fsum += lam_i.astype(np.float64) / q
             acc64 += lam_i * np.uint64(hat % (1 << 64))        # wraps mod 2^64
         k = np.round(fsum).astype(np.uint64)
+        # |centered value| ~= |frac(fsum)| * Q; past the int64 window the
+        # wrapping trick aliases — switch to the exact native CRT
+        # (reference: SEAL composes through a full big-int,
+        # util/rns.h:79-83)
+        frac = np.abs(fsum - np.round(fsum)).max()
+        log2Q = sum(np.log2(float(q)) for q in qs)
+        if frac > 0 and np.log2(frac) + log2Q > 61:
+            from . import native
+            if native.available():
+                m = native.decode_centered(
+                    np.asarray(residues, np.uint32)[..., :n_q, :],
+                    qs) / scale
+                return self.embed_to_slots(m)
         acc64 -= k * np.uint64(Q % (1 << 64))
         m = acc64.astype(np.int64).astype(np.float64) / scale
         return self.embed_to_slots(m)

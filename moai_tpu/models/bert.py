@@ -271,3 +271,160 @@ def galois_steps_for_model(dims: BertDims) -> list[int]:
     steps = set(ccmm_col_steps(dims.num_x, dims.num_row))
     steps.update(ccmm_diag_steps(dims.num_x, dims.num_row))
     return sorted(steps)
+
+
+# --------------------------------------------------------------------------
+# full model
+# --------------------------------------------------------------------------
+
+# Per-layer empirical max of the attention scores QK^T, subtracted before
+# exp so the numerators stay in (0, 1] (reference data constant:
+# minus_index_vec, softmax.hpp:324).
+BERT_BASE_MAX_TABLE = [7.5, 9.9, 13.6, 13.3, 9.5, 8.0, 10.3, 9.0, 9.0, 9.0,
+                       11.0, 7.0]
+
+
+def read_reference_input(dims: BertDims,
+                         path: str = "/root/reference/data/layer_0/"
+                                     "embedded_inputs.csv") -> np.ndarray:
+    """The reference's embedded input matrix (reference: read_input,
+    test_full_scheme.hpp:41-67 — one input of num_input=5 valid tokens,
+    tokens beyond that zero-padded).  Returns [1, num_row, d_model]."""
+    m = np.loadtxt(path, delimiter=",", dtype=np.float64)
+    out = np.zeros((1, dims.num_row, dims.d_model))
+    r = min(m.shape[0], dims.num_row)
+    out[0, :r, :m.shape[1]] = m[:r, :dims.d_model]
+    return out
+
+
+class EncryptedBertModel:
+    """The full 12-layer encrypted BERT-base encoder (reference: the
+    layer_id loop, test_full_scheme.hpp:484-1120).  Each layer re-enters
+    at ``n_att`` via the trailing refresh, so the stack composes without
+    per-layer re-keying.
+
+    ``domains``: optional list of per-layer dicts with keys
+    ``ln1/ln2/gelu`` overriding the nonlinear approximation domains
+    (calibrated from a plaintext forward pass, the analog of the
+    reference's empirical per-layer constant tables)."""
+
+    def __init__(self, ev: Evaluator, encoder: Encoder,
+                 weights: list[BertLayerWeights], dims: BertDims,
+                 plan: DepthPlan, input_lens,
+                 refresh: Callable[[Ciphertext, int], Ciphertext],
+                 max_table=None, domains: list[dict] | None = None,
+                 on_layer: Callable[[int, Ciphertext], None] | None = None):
+        max_table = max_table if max_table is not None else \
+            BERT_BASE_MAX_TABLE
+        self.layers = []
+        for i, w in enumerate(weights):
+            dom = (domains[i] if domains is not None else {})
+            self.layers.append(EncryptedBertLayer(
+                ev, encoder, w, dims, plan, input_lens,
+                max_table=float(max_table[i % len(max_table)]),
+                refresh=refresh,
+                ln1_domain=dom.get("ln1", (0.05, 1.0)),
+                ln2_domain=dom.get("ln2", (0.05, 1.0)),
+                gelu_domain=dom.get("gelu", 13.0)))
+        self.on_layer = on_layer
+
+    @property
+    def n_att(self) -> int:
+        return self.layers[0].n_att
+
+    def __call__(self, x: Ciphertext) -> Ciphertext:
+        for i, layer in enumerate(self.layers):
+            x = layer(x)
+            if self.on_layer is not None:
+                self.on_layer(i, x)
+        return x
+
+
+def plain_bert_layer(x: np.ndarray, w: BertLayerWeights, dims: BertDims
+                     ) -> np.ndarray:
+    """Float reference for one input [T, d_model] (the oracle the golden
+    CSVs were produced from; reference: data/layer_N/**/allresults)."""
+    from scipy.special import erf
+
+    hd, H = dims.head_dim, dims.num_heads
+
+    def ln(v, g_, b_):
+        mu = v.mean(-1, keepdims=True)
+        sg = v.std(-1, keepdims=True)
+        return g_ * (v - mu) / sg + b_
+
+    q = x @ w.wq / np.sqrt(hd) + w.bq / np.sqrt(hd)
+    k = x @ w.wk + w.bk
+    v = x @ w.wv + w.bv
+    outs = []
+    for h in range(H):
+        sl = slice(h * hd, (h + 1) * hd)
+        sc = q[:, sl] @ k[:, sl].T
+        e = np.exp(sc - sc.max())
+        outs.append(e / e.sum(-1, keepdims=True) @ v[:, sl])
+    att = np.concatenate(outs, axis=-1) @ w.wo + w.bo
+    h1 = ln(att + x, w.ln1_g, w.ln1_b)
+    f = h1 @ w.wi + w.bi
+    f = 0.5 * f * (1 + erf(f / np.sqrt(2)))
+    return ln(f @ w.wf + w.bf + h1, w.ln2_g, w.ln2_b)
+
+
+def calibrate_domains(xs: np.ndarray, lens, weights: list[BertLayerWeights],
+                      dims: BertDims, margin: float = 1.4
+                      ) -> tuple[list[dict], list[float]]:
+    """Plaintext calibration pass: per-layer LayerNorm variance-sum
+    domains, GELU input range, and softmax max table.  The reference ships
+    these as hand-measured constant tables (softmax.hpp:324, the
+    1/768^3-style normalizations in layernorm.hpp:240-295); here they are
+    derived from a plaintext forward pass over the actual batch."""
+    from scipy.special import erf
+
+    d = dims.d_model
+    domains, max_table = [], []
+    cur = [xs[j, :lens[j]].copy() for j in range(xs.shape[0])]
+    for w in weights:
+        qmax, s1_lo, s1_hi, s2_lo, s2_hi, gmax = 0.0, np.inf, 0.0, np.inf, \
+            0.0, 0.0
+        nxt = []
+        for x in cur:
+            q = x @ w.wq / np.sqrt(dims.head_dim) + w.bq / np.sqrt(
+                dims.head_dim)
+            k = x @ w.wk + w.bk
+            for h in range(dims.num_heads):
+                sl = slice(h * dims.head_dim, (h + 1) * dims.head_dim)
+                qmax = max(qmax, float(np.abs(q[:, sl] @ k[:, sl].T).max()))
+            y = plain_bert_layer(x, w, dims)
+
+            def S(v):
+                dd = d * v - v.sum(-1, keepdims=True)
+                return (dd * dd).sum(-1)
+
+            # recompute intermediates for domains
+            hd, H = dims.head_dim, dims.num_heads
+            vv = x @ w.wv + w.bv
+            outs = []
+            for h in range(H):
+                sl = slice(h * hd, (h + 1) * hd)
+                sc = q[:, sl] @ k[:, sl].T
+                e = np.exp(sc - sc.max())
+                outs.append(e / e.sum(-1, keepdims=True) @ vv[:, sl])
+            att = np.concatenate(outs, -1) @ w.wo + w.bo
+            pre1 = att + x
+            s1 = S(pre1)
+            s1_lo, s1_hi = min(s1_lo, s1.min()), max(s1_hi, s1.max())
+            mu = pre1.mean(-1, keepdims=True)
+            sg = pre1.std(-1, keepdims=True)
+            h1 = w.ln1_g * (pre1 - mu) / sg + w.ln1_b
+            f = h1 @ w.wi + w.bi
+            gmax = max(gmax, float(np.abs(f).max()))
+            f = 0.5 * f * (1 + erf(f / np.sqrt(2)))
+            pre2 = f @ w.wf + w.bf + h1
+            s2 = S(pre2)
+            s2_lo, s2_hi = min(s2_lo, s2.min()), max(s2_hi, s2.max())
+            nxt.append(y)
+        domains.append({"ln1": (s1_lo / margin, s1_hi * margin),
+                        "ln2": (s2_lo / margin, s2_hi * margin),
+                        "gelu": gmax * margin})
+        max_table.append(qmax)
+        cur = nxt
+    return domains, max_table

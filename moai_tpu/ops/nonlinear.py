@@ -180,6 +180,59 @@ def gelu(ev: Evaluator, x: Ciphertext, domain: float = 13.0,
     return poly_eval(ev, u, _cache[key])
 
 
+def sign_composite(ev: Evaluator, x: Ciphertext, polys) -> Ciphertext:
+    """sgn(x) for |x| in [tau, 1] via composed odd minimax polynomials
+    (reference: sgn_eval's f4∘f4∘g4∘g4 chain, gelu.hpp:109-147; the
+    polynomials here come from minimax.fit_sign_composite instead of
+    hard-coded coefficient tables)."""
+    from ..boot.evalmod import cheb_eval
+    for p in polys:
+        x = cheb_eval(ev, x, p)
+    return x
+
+
+def gelu_sign(ev: Evaluator, x: Ciphertext, breakpoint: float = 3.5,
+              input_bound: float = 60.0, degrees=(9, 9, 9, 9),
+              mid_degree: int = 12, _cache: dict = {}) -> Ciphertext:
+    """Piecewise GELU via two homomorphic sign evaluations at ±breakpoint
+    (reference: gelu, gelu.hpp:149-377 — NEXUS-style: x scaled by
+    1/input_bound, sgn at breakpoints ±3.5, blended with a mid-range
+    polynomial):
+
+        gelu(x) ~= A(x)·(sgn(x+b) − sgn(x−b))/2 + x·(1 + sgn(x−b))/2
+
+    with A a minimax fit of GELU on [−b, b] (the reference uses a fixed
+    degree-12 polynomial, gelu.hpp:279-311)."""
+    from scipy.special import erf
+    from ..minimax import remez_fit, fit_sign_composite
+    key = (breakpoint, input_bound, tuple(degrees), mid_degree)
+    if key not in _cache:
+        polys, _ = fit_sign_composite(
+            min(0.5 / input_bound, breakpoint / input_bound / 4), list(degrees))
+        g = lambda u: 0.5 * (u * breakpoint) * (
+            1.0 + erf(u * breakpoint / np.sqrt(2.0)))
+        mid, _ = remez_fit(g, [(-1.0, 1.0)], mid_degree)
+        _cache[key] = (polys, mid)
+    polys, mid = _cache[key]
+    from ..boot.evalmod import cheb_eval
+    b = breakpoint
+    u = ev.rescale_pair(ev.mul_const_to(x, 1.0 / input_bound, x.scale))
+    s0 = sign_composite(ev, ev.add_const(u, b / input_bound), polys)
+    s1 = sign_composite(ev, ev.add_const(u, -b / input_bound), polys)
+    # A evaluated in v = x/b
+    v = ev.rescale_pair(ev.mul_const_to(x, 1.0 / b, x.scale))
+    A = cheb_eval(ev, v, mid)
+    half_diff = ev.rescale_pair(ev.mul_const_to(
+        ev.sub(*ev.align(s0, s1)), 0.5, ev.level_pair_scale(
+            min(s0.n_q, s1.n_q))))
+    half_hi = ev.add_const(ev.rescale_pair(ev.mul_const_to(
+        s1, 0.5, ev.level_pair_scale(s1.n_q))), 0.5)
+    t1 = ev.mul_relin_rescale(*ev.align(A, half_diff))
+    t2 = ev.mul_relin_rescale(*ev.align(x, half_hi))
+    t2 = ev.match_scale(t2, t1.scale)
+    return ev.add(*ev.align(t1, t2))
+
+
 # --------------------------------------------------------------------------
 # LayerNorm
 # --------------------------------------------------------------------------

@@ -1,0 +1,81 @@
+"""Full encrypted multi-layer BERT model vs plaintext reference (tiny dims).
+
+The TPU-native analog of the reference's all_layer_test driver
+(test_full_scheme.hpp:339-1120): a stack of EncryptedBertLayer composed
+through the refresh callback, domains calibrated from a plaintext pass
+(the reference ships hand-measured per-layer constant tables instead,
+softmax.hpp:324)."""
+
+import numpy as np
+import pytest
+
+from moai_tpu.params import CKKSConfig, make_context
+from moai_tpu.encoder import Encoder
+from moai_tpu.keys import KeyGenerator
+from moai_tpu.encrypt import Encryptor, Decryptor
+from moai_tpu.evaluator import Evaluator
+from moai_tpu.utils.recrypt import Recryptor
+from moai_tpu.ops.packing import batch_input, unpack_batch
+from moai_tpu.models.bert import (BertDims, BertLayerWeights, DepthPlan,
+                                  EncryptedBertModel, galois_steps_for_model,
+                                  calibrate_domains, plain_bert_layer)
+
+RNG = np.random.default_rng(71)
+
+DIMS = BertDims(num_x=128, num_row=8, d_model=16, num_heads=2, head_dim=8,
+                d_inter=32)
+PLAN = DepthPlan(exp_r=5, inv_iters=5, ln_newton=2, ln_gold=0,
+                 gelu_degree=16)
+N_LAYERS = 2
+N_INPUTS = 2
+LENS = np.array([8, 5])
+
+
+def rand_weights() -> BertLayerWeights:
+    d, hh, di = DIMS.d_model, DIMS.num_heads * DIMS.head_dim, DIMS.d_inter
+    g = lambda *s: RNG.normal(0, 0.25, s)
+    return BertLayerWeights(
+        wq=g(d, hh), bq=g(hh) * 0.1, wk=g(d, hh), bk=g(hh) * 0.1,
+        wv=g(d, hh), bv=g(hh) * 0.1, wo=g(d, d) * 0.4, bo=g(d) * 0.1,
+        ln1_g=RNG.uniform(0.8, 1.2, d), ln1_b=g(d) * 0.1,
+        wi=g(d, di) * 0.4, bi=g(di) * 0.1, wf=g(di, d) * 0.4, bf=g(d) * 0.1,
+        ln2_g=RNG.uniform(0.8, 1.2, d), ln2_b=g(d) * 0.1)
+
+
+@pytest.mark.slow
+def test_bert_model_two_layers():
+    cfg = CKKSConfig(logN=11, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
+                     n_data_levels=13, n_boot_levels=0, dnum=2,
+                     hamming_weight=64)
+    ctx = make_context(cfg)
+    assert DIMS.num_x * DIMS.num_row == ctx.cfg.slots
+    enc = Encoder(ctx)
+    kg = KeyGenerator(ctx, seed=77)
+    gks = kg.gen_galois_keys(steps=galois_steps_for_model(DIMS))
+    encryptor = Encryptor(ctx, enc, kg.gen_public_key(), kg)
+    decryptor = Decryptor(ctx, enc, kg.sk)
+    ev = Evaluator(ctx, relin_key=kg.gen_relin_key(), galois_keys=gks)
+    rec = Recryptor(encryptor, decryptor)
+
+    weights = [rand_weights() for _ in range(N_LAYERS)]
+    xs = RNG.normal(0, 0.6, (N_INPUTS, DIMS.num_row, DIMS.d_model))
+    for j, ln_ in enumerate(LENS):
+        xs[j, ln_:] = 0.0
+
+    domains, max_table = calibrate_domains(xs, LENS, weights, DIMS)
+    want = [xs[j, :LENS[j]].copy() for j in range(N_INPUTS)]
+    for w in weights:
+        want = [plain_bert_layer(x, w, DIMS) for x in want]
+
+    model = EncryptedBertModel(
+        ev, enc, weights, DIMS, PLAN, LENS,
+        refresh=lambda ct, n_q: rec.recrypt(ct, n_q=n_q),
+        max_table=max_table, domains=domains)
+    x_ct = batch_input(encryptor, xs, DIMS.num_x, DIMS.num_row,
+                       n_q=model.n_att)
+    out = model(x_ct)
+    got_slots = decryptor.decrypt(out).real
+    got = unpack_batch(got_slots, DIMS.num_x, DIMS.num_row, N_INPUTS)
+    for j in range(N_INPUTS):
+        err = np.abs(got[j, :LENS[j]] - want[j]).max()
+        assert err < 0.15, (j, err)

@@ -1,0 +1,76 @@
+"""Minimax toolbox (Remez exchange, sign composition) + sign-based GELU.
+
+Covers the reference's Remez/minicomp stack (common/Remez.cpp,
+MinicompFunc/PolyUpdate) and the piecewise-sign GELU variant
+(gelu.hpp:149-377)."""
+
+import numpy as np
+import pytest
+from scipy.special import erf
+
+from moai_tpu.minimax import (remez_fit, fit_sign_composite, fit_cos_remez,
+                              eval_cheb_np)
+
+
+def test_remez_sign_equioscillates():
+    coef, err = remez_fit(np.sign, [(-1, -0.2), (0.2, 1)], 9, parity="odd")
+    xs = np.linspace(0.2, 1, 4000)
+    e = np.abs(eval_cheb_np(coef, xs) - 1.0)
+    assert abs(e.max() - err) < 1e-6
+    assert err < 0.12          # deg-9 odd minimax on tau=0.2 is well below
+
+def test_remez_plain_function():
+    g = lambda x: np.exp(x)
+    coef, err = remez_fit(g, [(-1.0, 1.0)], 10)
+    assert err < 1e-9
+    xs = np.linspace(-1, 1, 1000)
+    assert np.abs(eval_cheb_np(coef, xs) - g(xs)).max() < 2e-9
+
+
+def test_sign_composite_converges():
+    polys, dev = fit_sign_composite(1 / 60, [9, 9, 9, 9])
+    xs = np.concatenate([np.linspace(-1, -1 / 60, 3000),
+                         np.linspace(1 / 60, 1, 3000)])
+    y = xs.copy()
+    for p in polys:
+        y = eval_cheb_np(p, y)
+    assert np.abs(y - np.sign(xs)).max() < 1e-9
+
+
+def test_cos_remez_matches_lawson_quality():
+    coef, x_max, err = fit_cos_remez(12, 2.0 ** -8, 45, 2)
+    assert err < 1e-7
+
+
+@pytest.mark.slow
+def test_gelu_sign_homomorphic():
+    from moai_tpu.params import CKKSConfig, make_context
+    from moai_tpu.encoder import Encoder
+    from moai_tpu.keys import KeyGenerator
+    from moai_tpu.encrypt import Encryptor, Decryptor
+    from moai_tpu.evaluator import Evaluator
+    from moai_tpu.ops.nonlinear import gelu_sign
+
+    cfg = CKKSConfig(logN=9, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
+                     n_data_levels=20, n_boot_levels=0, dnum=2,
+                     hamming_weight=32)
+    ctx = make_context(cfg)
+    enc = Encoder(ctx)
+    kg = KeyGenerator(ctx, seed=5)
+    encryptor = Encryptor(ctx, enc, kg.gen_public_key(), kg)
+    decryptor = Decryptor(ctx, enc, kg.sk)
+    ev = Evaluator(ctx, relin_key=kg.gen_relin_key())
+
+    rng = np.random.default_rng(0)
+    # keep a guard band around the breakpoints, as the reference does
+    # (error is unconstrained within tau of ±3.5)
+    xs = rng.uniform(-6, 6, ctx.cfg.slots)
+    xs[np.abs(np.abs(xs) - 3.5) < 0.6] = 0.0
+    ct = encryptor.encrypt(encryptor.encode(xs[None]))
+    out = gelu_sign(ev, __import__("moai_tpu.ciphertext",
+                                   fromlist=["Ciphertext"]).Ciphertext(
+        ct.data, ct.scale, True), breakpoint=3.5, input_bound=8.0,
+        degrees=(9, 9, 9), mid_degree=12)
+    got = decryptor.decrypt(out).real[0]
+    want = 0.5 * xs * (1 + erf(xs / np.sqrt(2)))
+    assert np.abs(got - want).max() < 0.05
