@@ -309,7 +309,8 @@ def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
                  masks: np.ndarray, max_val: float,
                  refresh: Callable[[Ciphertext], Ciphertext],
                  sum_scale: float | None = None, inv_iters: int = 16,
-                 eps: float = 1e-5, out_n_q: int | None = None) -> Ciphertext:
+                 eps: float = 1e-5, out_n_q: int | None = None,
+                 exp_r: int = 7) -> Ciphertext:
     """Softmax over num_row diagonal-packed score ciphertexts (leading axis).
 
     Pipeline (reference: softmax_boot, softmax.hpp:308-580):
@@ -325,7 +326,7 @@ def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
         sum_scale = float(R)
     neg_max = encode_plain(ev, encoder, -max_val * masks, x.scale, x.n_q)
     x1 = ev.add_plain(x, neg_max)
-    e = exp_taylor(ev, x1)
+    e = exp_taylor(ev, x1, r=exp_r)
     pair = ev.level_pair_scale(e.n_q)
     mask_pt = encode_plain(ev, encoder, masks / sum_scale, pair, e.n_q)
     e = ev.rescale_pair(ev.multiply_plain(e, mask_pt))
