@@ -12,5 +12,9 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persist EVERY compile: deep eager circuits pay ~200ms XLA-CPU compile per
+# primitive per level; the cache turns repeat runs (and repeat shapes across
+# tests) into lookups.  Kept inside the repo so it survives /tmp cleanup.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
