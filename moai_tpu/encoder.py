@@ -143,7 +143,16 @@ class Encoder:
                 m = native.decode_centered(
                     np.asarray(residues, np.uint32)[..., :n_q, :],
                     qs) / scale
+                if not np.isfinite(m).all():
+                    raise ValueError(
+                        "decode produced non-finite coefficients "
+                        "(centered value exceeds float64 range)")
                 return self.embed_to_slots(m)
         acc64 -= k * np.uint64(Q % (1 << 64))
         m = acc64.astype(np.int64).astype(np.float64) / scale
+        if not np.isfinite(m).all():
+            raise ValueError(
+                "decode produced non-finite coefficients (centered value "
+                "outside the representable window) — decrypt at a lower "
+                "level or via native.decode_centered")
         return self.embed_to_slots(m)

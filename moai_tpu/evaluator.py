@@ -242,29 +242,38 @@ class Evaluator:
         qt = jnp.concatenate([q_all[:n_q], q_all[L:]]).reshape(-1, 1)
         qnegt = jnp.concatenate([qneg_all[:n_q], qneg_all[L:]]).reshape(-1, 1)
 
+        D = self._active_digits(n_q)
+        alpha = ctx.alpha
         c = intt(poly_ntt, self.tbd, limb_slice=(0, n_q))
-        ys = []
-        for d, (lo, hi) in enumerate(ctx.digit_ranges):
-            hi_act = min(hi, n_q)
-            if lo >= hi_act:
-                break
-            n_d = hi_act - lo
-            qd = q_all[lo:hi_act].reshape(-1, 1)
-            qnegd = qneg_all[lo:hi_act].reshape(-1, 1)
-            hatinv = dv["ks_hatinv_mont"][n_q, d, :n_d].reshape(-1, 1)
-            lam = ma.from_mont(
-                ma.mont_mul(c[..., lo:hi_act, :], hatinv, qd, qnegd), qd, qnegd)
-            # fast base extension: y_t = sum_i lam_i * hat_i  (Montgomery out)
-            y = None
-            for i in range(n_d):
-                hat = dv["ks_hat_mm"][n_q, d, i, :]             # [nall]
-                hat_t = jnp.concatenate([hat[:n_q], hat[L:]]).reshape(-1, 1)
-                term = ma.mont_mul(lam[..., i:i + 1, :], hat_t, qt, qnegt)
-                y = term if y is None else ma.add_mod(y, term, qt)
-            y_q = ntt(y[..., :n_q, :], self.tbd, limb_slice=(0, n_q))
-            y_p = ntt(y[..., n_q:, :], self.tbd, limb_slice=(L, nall))
-            ys.append(jnp.concatenate([y_q, y_p], axis=-2))
-        return jnp.stack(ys, axis=-3)                           # [..., D, n_t, N]
+        # zero-pad the limb axis to D*alpha and fold into digits
+        # [..., D, alpha, N]; ks_hatinv_mont is zero on padded/inactive
+        # positions, so their lambdas vanish.
+        pad = D * alpha - n_q
+        if pad:
+            c = jnp.concatenate(
+                [c, jnp.zeros(c.shape[:-2] + (pad, c.shape[-1]), c.dtype)],
+                axis=-2)
+        cd = c.reshape(c.shape[:-2] + (D, alpha, c.shape[-1]))
+        qpad = dv["ks_q_pad"][:D * alpha].reshape(D, alpha, 1)
+        qnegpad = dv["ks_qneg_pad"][:D * alpha].reshape(D, alpha, 1)
+        hatinv = dv["ks_hatinv_mont"][n_q, :D].reshape(D, alpha, 1)
+        lam = ma.from_mont(ma.mont_mul(cd, hatinv, qpad, qnegpad),
+                           qpad, qnegpad)               # true, [..., D, a, N]
+        # fast base extension y_t = sum_i lam_i * hat_i (Montgomery out):
+        # one batched multiply-accumulate per digit-prime position, all
+        # digits at once (the per-(digit, prime) scalar chain this replaces
+        # was the round-2 bottleneck; SEAL's analog: the switch_key_inplace
+        # per-limb MAC, evaluator.cpp:2724).
+        hat = dv["ks_hat_mm"][n_q, :D]                  # [D, alpha, nall]
+        hat_t = jnp.concatenate([hat[..., :n_q], hat[..., L:]], axis=-1)
+        y = None
+        for a in range(alpha):
+            term = ma.mont_mul(lam[..., :, a, None, :],
+                               hat_t[:, a, :, None], qt, qnegt)
+            y = term if y is None else ma.add_mod(y, term, qt)
+        y_q = ntt(y[..., :n_q, :], self.tbd, limb_slice=(0, n_q))
+        y_p = ntt(y[..., n_q:, :], self.tbd, limb_slice=(L, nall))
+        return jnp.concatenate([y_q, y_p], axis=-2)     # [..., D, n_t, N]
 
     def _key_rows(self, key_data, n_q: int):
         """key [..., dnum, 2, L+K, N] -> rows for targets Q_l + P, active

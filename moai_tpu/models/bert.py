@@ -191,7 +191,8 @@ class EncryptedAttention:
             sm = softmax_diag(
                 ev, self.encoder, qkt, self.masks, self.max_val,
                 refresh=lambda ct: self.refresh(ct, n_refresh),
-                inv_iters=plan.inv_iters, out_n_q=self.n_v)
+                inv_iters=plan.inv_iters, out_n_q=self.n_v,
+                exp_r=plan.exp_r)
             outs.append(ccmm_diag_to_col(ev, sm, v, dims.num_x,
                                          dims.num_row))
         data = jnp.concatenate([o.data for o in outs], axis=0)
@@ -227,10 +228,9 @@ class EncryptedBertLayer:
         # LayerNorm consumes 6 + 3*newton + 2*gold composite levels
         ln_depth = 6 + 3 * plan.ln_newton + 2 * plan.ln_gold
         self.n_ln1 = min(ctx.L, ctx.n_q0 + 2 * ln_depth + 2)
-        # GELU: prescale + power ladder + coefficient mult
+        # GELU: prescale + Chebyshev doubling ladder + coefficient mult
         deg = plan.gelu_degree
-        gelu_depth = 2 + (deg.bit_length() - 1) + (0 if deg & (deg - 1) == 0
-                                                   else 1)
+        gelu_depth = 2 + max(1, (deg - 1).bit_length())
         self.n_ffn = min(ctx.L, ctx.n_q0 + 2 * (1 + gelu_depth + 1) + 2)
         self.i_mm = CPMM(ev, encoder, w.wi, self.n_ffn, bias=w.bi, mask=mask)
         self.f_mm = CPMM(ev, encoder, w.wf,

@@ -148,6 +148,8 @@ def ccmm_col_to_diag(ev: Evaluator, x: Ciphertext, w: Ciphertext,
     (diagonal, column)); the dyadic products reduce over the column axis and
     a single batched relinearization finishes all diagonals.
     """
+    assert x.n_q == w.n_q, \
+        f"ccmm_col_to_diag level mismatch: X at n_q={x.n_q}, W at n_q={w.n_q}"
     q = ev.dev["q"][:x.n_q].reshape(-1, 1)
     qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
     rot_w = ev.rotate_hoisted(w, [i * num_x for i in range(1, num_row)],
@@ -200,6 +202,8 @@ def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
     """
     m = num_row
     assert x.data.shape[0] == m
+    assert x.n_q == v.n_q, \
+        f"ccmm_diag_to_col level mismatch: A at n_q={x.n_q}, V at n_q={v.n_q}"
     g = int(np.ceil(np.sqrt(m)))
     b = int(np.ceil(m / g))
     q = ev.dev["q"][:x.n_q].reshape(-1, 1)

@@ -209,6 +209,15 @@ class Context:
                                        dtype=np.uint32)
         self.ks_hat_mm = np.zeros((L + 1, self.dnum, self.alpha, nall),
                                   dtype=np.uint32)
+        # per-position prime constants padded to dnum*alpha (positions past
+        # L reuse the last prime — their lambdas are identically zero)
+        npos = self.dnum * self.alpha
+        self.ks_q_pad = np.full(npos, primes[L - 1], dtype=np.uint32)
+        self.ks_qneg_pad = np.zeros(npos, dtype=np.uint32)
+        for i in range(npos):
+            q = primes[i] if i < L else primes[L - 1]
+            self.ks_q_pad[i] = q
+            self.ks_qneg_pad[i] = ((1 << 32) - pow(q, -1, 1 << 32)) % (1 << 32)
         for n_q in range(1, L + 1):
             for d, (a, b) in enumerate(self.digit_ranges):
                 b_act = min(b, n_q)
@@ -245,6 +254,8 @@ class Context:
                 "pdown_half_modq": jnp.asarray(self.pdown_half_modq),
                 "ks_hatinv_mont": jnp.asarray(self.ks_hatinv_mont),
                 "ks_hat_mm": jnp.asarray(self.ks_hat_mm),
+                "ks_q_pad": jnp.asarray(self.ks_q_pad),
+                "ks_qneg_pad": jnp.asarray(self.ks_qneg_pad),
             }
         return self._dev
 

@@ -177,11 +177,13 @@ void decode_centered(const uint32_t* residues, int64_t n,
             acc[qlimbs] = 0;
             negv = true;
         }
-        // to double
-        double v = 0.0, base = 1.0;
+        // to double — ldexp per nonzero limb: a naive running base *= 2^64
+        // overflows to inf past 1024-bit Q and 0*inf poisons the sum with
+        // NaN; skipping zero limbs keeps the result finite whenever the
+        // centered value itself fits in a double
+        double v = 0.0;
         for (int j = 0; j < qlimbs; ++j) {
-            v += (double)acc[j] * base;
-            base *= 1.8446744073709552e19;   // 2^64
+            if (acc[j]) v += std::ldexp((double)acc[j], 64 * j);
         }
         out[k] = negv ? -v : v;
     }

@@ -17,4 +17,4 @@ jax.config.update("jax_platforms", "cpu")
 # tests) into lookups.  Kept inside the repo so it survives /tmp cleanup.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jaxcache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
