@@ -37,7 +37,8 @@ class Bootstrapper:
     def __init__(self, ev: Evaluator, encoder: Encoder,
                  mod_reducer: ModReducer | None = None,
                  m_bound: float = 1.0, n_out: int | None = None,
-                 lt_group: int | None = None):
+                 lt_group: int | None = None,
+                 arcsin_deg: int | None = None):
         """``lt_group``: 0 = dense single-level CoeffToSlot/SlotToCoeff
         (1 level each, n diagonal plaintexts — test scale only); k>0 =
         radix-factored levels grouped k butterflies per level (memory
@@ -49,8 +50,13 @@ class Bootstrapper:
         self.ctx = ctx
         self.q0 = float(ctx.q0_product)
         eps = m_bound * ctx.scale / self.q0
+        if arcsin_deg is None:
+            # wide physical intervals (|m| >> 1) leave an O(eps^3) residual
+            # from the linearized arcsin — switch on the cubic correction
+            arcsin_deg = 3 if eps > 2.0 ** -7 else 1
         self.mr = mod_reducer if mod_reducer is not None else \
-            ModReducer(K=25, eps=max(eps, 2.0 ** -10))
+            ModReducer(K=25, eps=max(eps, 2.0 ** -10),
+                       arcsin_deg=arcsin_deg)
         n = encoder.slots
         logn = n.bit_length() - 1
         if lt_group is None:

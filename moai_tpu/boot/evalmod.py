@@ -107,19 +107,29 @@ class ModReducer:
     SlotToCoeff coefficients, Bootstrapper.cpp:2481-2494)."""
 
     def __init__(self, K: int = 25, eps: float = 2.0 ** -7,
-                 degree: int = 59, double_angles: int = 2):
+                 degree: int = 59, double_angles: int = 2,
+                 arcsin_deg: int = 1):
+        """``arcsin_deg``: 1 folds the linear arcsin term into downstream
+        scaling (reference default, ModularReducer.cpp:42-47); 3 adds the
+        homomorphic cubic correction y + y^3/6 (+2 levels), cutting the
+        residual from O(y^3) to O(y^5) — needed when |m| >> 1 widens the
+        physical EvalMod interval (reference: inverse_deg parameter,
+        ModularReducer.h:15)."""
+        assert arcsin_deg in (1, 3)
         self.K, self.eps = K, eps
         self.degree, self.double_angles = degree, double_angles
+        self.arcsin_deg = arcsin_deg
         self.coef, self.x_max = fit_cos_multi_interval(
             K, eps, degree, double_angles)
 
     @property
     def levels(self) -> int:
         """Composite levels consumed (input prescale + ladder + coeff
-        mult + double angles)."""
+        mult + double angles + optional cubic arcsin)."""
         deg = self.degree
         ladder = (deg.bit_length() - 1) + 1
-        return 1 + ladder + 1 + self.double_angles
+        return 1 + ladder + 1 + self.double_angles + \
+            (2 if self.arcsin_deg >= 3 else 0)
 
     def __call__(self, ev: Evaluator, t: Ciphertext,
                  pre_scale: float = 1.0) -> Ciphertext:
@@ -138,4 +148,14 @@ class ModReducer:
         c = cheb_eval(ev, x, self.coef)
         for _ in range(self.double_angles):
             c = ev.add_const(ev.mul_int(ev.square_rescale(c), 2), -1.0)
+        if self.arcsin_deg >= 3:
+            # arcsin(y) ~= y + y^3/6: evaluate y^2 and y/6 in parallel
+            # (both one level), multiply, add — 2 levels total.  c6's
+            # landing scale is chosen so y2*c6 rescales EXACTLY to c.scale.
+            y2 = ev.square_rescale(c)
+            pair2 = ev.level_pair_scale(y2.n_q)
+            c6 = ev.rescale_pair(ev.mul_const_to(
+                c, 1.0 / 6.0, c.scale * pair2 / y2.scale))
+            y3 = ev.mul_relin_rescale(y2, c6)
+            c = ev.add(*ev.align(c, y3))
         return c

@@ -27,7 +27,8 @@ class Encryptor:
         self.ctx = ctx
         self.encoder = encoder
         self.pk = pk
-        self.rng = np.random.default_rng(keygen.rng.integers(1 << 62))
+        from .csprng import ShakeRng
+        self.rng = ShakeRng(int(keygen.rng.integers(1 << 62)))
         self.tbd = ctx.device()["ntt"]
         self._enc_jit = {}
 

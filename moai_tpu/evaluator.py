@@ -51,6 +51,15 @@ class Evaluator:
         self.relin_key = relin_key
         self.galois_keys = galois_keys
         self._perm_cache = {}
+        # optional observability hook: callable(op_name, result_ct) invoked
+        # at trace time (utils/debug.OpTrace; the reference's chain-index
+        # prints, test_full_scheme.hpp:509-556)
+        self.debug = None
+
+    def _dbg(self, name, ct):
+        if self.debug is not None:
+            self.debug(name, ct)
+        return ct
 
     # -- constants (sliced at trace time) ---------------------------------
     def _q(self, n_q):
@@ -132,7 +141,8 @@ class Evaluator:
         assert a.n_q == p.n_q, (a.n_q, p.n_q)
         out = ma.mont_mul(a.data, p.data[..., None, :, :],
                           self._q(a.n_q), self._qneg(a.n_q))
-        return Ciphertext(out, a.scale * p.scale, a.is_ntt)
+        return self._dbg("multiply_plain",
+                         Ciphertext(out, a.scale * p.scale, a.is_ntt))
 
     def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """Dyadic ct*ct product -> 3-poly ciphertext (SEAL ckks_multiply,
@@ -145,8 +155,8 @@ class Evaluator:
         c1 = ma.add_mod(ma.mont_mul(a0, b1, q, qneg),
                         ma.mont_mul(a1, b0, q, qneg), q)
         c2 = ma.mont_mul(a1, b1, q, qneg)
-        return Ciphertext(jnp.stack([c0, c1, c2], axis=-3),
-                          a.scale * b.scale, True)
+        return self._dbg("multiply", Ciphertext(
+            jnp.stack([c0, c1, c2], axis=-3), a.scale * b.scale, True))
 
     def square(self, a: Ciphertext) -> Ciphertext:
         q, qneg = self._q(a.n_q), self._qneg(a.n_q)
@@ -164,7 +174,9 @@ class Evaluator:
         q = self._q(a.n_q)
         c0 = ma.add_mod(a.data[..., 0, :, :], ks0, q)
         c1 = ma.add_mod(a.data[..., 1, :, :], ks1, q)
-        return Ciphertext(jnp.stack([c0, c1], axis=-3), a.scale, True)
+        return self._dbg("relinearize",
+                         Ciphertext(jnp.stack([c0, c1], axis=-3), a.scale,
+                                    True))
 
     def multiply_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         return self.relinearize(self.multiply(a, b))
@@ -201,7 +213,7 @@ class Evaluator:
         qlinv = dv["resc_qlinv_mont"][ell, :ell].reshape(-1, 1)
         num = ma.sub_mod(a.data[..., :ell, :], u_ntt, qj)
         out = ma.mont_mul(num, qlinv, qj, qnegj)
-        return Ciphertext(out, a.scale / qe, True)
+        return self._dbg("rescale", Ciphertext(out, a.scale / qe, True))
 
     def rescale_pair(self, a: Ciphertext) -> Ciphertext:
         """One *level* rescale = two single-prime rescales (composite scale)."""
@@ -214,7 +226,7 @@ class Evaluator:
 
     def mod_drop_to(self, a: Ciphertext, n_q: int) -> Ciphertext:
         assert n_q <= a.n_q
-        return a.with_data(a.data[..., :n_q, :])
+        return self._dbg("mod_drop_to", a.with_data(a.data[..., :n_q, :]))
 
     def mod_drop_level(self, a: Ciphertext, n_levels: int = 1) -> Ciphertext:
         """Drop whole composite levels (pairs of primes)."""
@@ -349,13 +361,31 @@ class Evaluator:
         c0, c1 = d[..., 0, :, :], d[..., 1, :, :]
         ks0, ks1 = self._switch_key(c1, self.galois_keys.keys[g], a.n_q)
         q = self._q(a.n_q)
-        return Ciphertext(jnp.stack([ma.add_mod(c0, ks0, q), ks1], axis=-3),
-                          a.scale, True)
+        return self._dbg("apply_galois", Ciphertext(
+            jnp.stack([ma.add_mod(c0, ks0, q), ks1], axis=-3), a.scale,
+            True))
+
+    def _naf_digits(self, v: int) -> list[int]:
+        """Non-adjacent form: signed powers of two summing to v (at most
+        half the nonzero digits of the binary expansion; SEAL's NAF
+        fallback, evaluator.cpp:2701-2720 / util/numth.cpp naf)."""
+        out = []
+        bit = 0
+        while v:
+            if v & 1:
+                d = 2 - (v & 3)               # v mod 4 == 1 -> +1, == 3 -> -1
+                out.append(d << bit)
+                v -= d
+            v >>= 1
+            bit += 1
+        return out
 
     def rotate(self, a: Ciphertext, steps: int) -> Ciphertext:
-        """Rotate slots by ``steps``; decomposes into available power-of-two
-        step keys when the exact key is absent (SEAL rotate_internal NAF
-        fallback, evaluator.cpp:2701-2720)."""
+        """Rotate slots by ``steps``; when the exact key is absent, picks
+        the cheapest available signed power-of-two decomposition — NAF of
+        ``steps`` and of ``steps - n`` (SEAL rotate_internal NAF fallback,
+        evaluator.cpp:2701-2720): steps like 2^k - 1 cost ~2 key-switches
+        instead of k."""
         n = self.ctx.cfg.N // 2
         steps = steps % n
         if steps == 0:
@@ -364,18 +394,18 @@ class Evaluator:
         g = pow(5, steps, two_n)
         if self.galois_keys is not None and g in self.galois_keys.keys:
             return self.apply_galois(a, g)
-        # power-of-two fallback
+        best = None
+        for cand in (steps, steps - n):
+            digits = self._naf_digits(cand)
+            elts = [pow(5, d % n, two_n) for d in digits]
+            if all(e in self.galois_keys.keys for e in elts):
+                if best is None or len(elts) < len(best):
+                    best = elts
+        assert best is not None, \
+            f"no galois key chain for rotation step {steps}"
         out = a
-        bit = 0
-        rem = steps
-        while rem:
-            if rem & 1:
-                gs = pow(5, 1 << bit, two_n)
-                assert gs in self.galois_keys.keys, \
-                    f"no galois key for step {steps} (need 2^{bit})"
-                out = self.apply_galois(out, gs)
-            rem >>= 1
-            bit += 1
+        for e in best:
+            out = self.apply_galois(out, e)
         return out
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
@@ -428,8 +458,9 @@ class Evaluator:
             c0 = jnp.moveaxis(c0, -2, 0)
             q = self._q(n_q)
             outs.append(jnp.stack([ma.add_mod(c0, d0, q), d1], axis=-3))
-        return Ciphertext(jnp.concatenate(outs, axis=0) if len(outs) > 1
-                          else outs[0], a.scale, True)
+        return self._dbg("rotate_hoisted", Ciphertext(
+            jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0],
+            a.scale, True))
 
     def relinearize_batched(self, a: Ciphertext) -> Ciphertext:
         """Alias of relinearize — already batched over leading axes."""

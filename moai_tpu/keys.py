@@ -71,10 +71,26 @@ class GaloisKeys:
     perms: dict               # galois element -> np [N] NTT-domain gather index
 
 
+def power_of_two_steps(n_slots: int) -> list[int]:
+    """The +-2^k rotation-step set: with NAF decomposition (Evaluator.
+    rotate) it reaches ANY step in <= ceil(log2 n)/2 expected key-switches
+    (SEAL's default galois key set, galois.cpp get_elts_all analog)."""
+    steps = set()
+    k = 1
+    while k < n_slots:
+        steps.add(k)
+        steps.add(n_slots - k)        # == -2^j mod n
+        k <<= 1
+    return sorted(steps)
+
+
 class KeyGenerator:
-    def __init__(self, ctx: Context, seed: int = 0):
+    def __init__(self, ctx: Context, seed: int | None = 0):
         self.ctx = ctx
-        self.rng = np.random.default_rng(seed)
+        # SHAKE-256 DRBG (reference: Blake2/SHAKE randomgen stack,
+        # util/fips202.c); deterministic per seed, os.urandom when None
+        from .csprng import ShakeRng
+        self.rng = ShakeRng(seed)
         self.tbd = ctx.device()["ntt"]
         self._ntt_all = jax.jit(lambda x: ntt(x, self.tbd))
         self._ntt_q = jax.jit(lambda x: ntt(x, self.tbd, limb_slice=(0, ctx.L)))

@@ -215,7 +215,13 @@ def ntt(x, tb, limb_slice=None):
     tb: device table dict from NttTables.device().  limb_slice: optional
     static (start, stop) selecting the active limbs inside the tables.
     Output index k holds the evaluation at root exponent (2k+1).
+
+    Dispatches to the Pallas MXU kernel (pallas_ntt.py) when the context
+    attached its tables (TPU backend, N large enough for tiling).
     """
+    if "pallas" in tb and x.shape[-1] >= (1 << 14):
+        from .pallas_ntt import ntt_pallas
+        return ntt_pallas(x, tb["pallas"], limb_slice)
     N = x.shape[-1]
     n1 = tb["w_mid"].shape[-2]
     n2 = tb["w_mid"].shape[-1]
@@ -238,6 +244,9 @@ def ntt(x, tb, limb_slice=None):
 
 def intt(x, tb, limb_slice=None):
     """Inverse negacyclic NTT (exact inverse of ``ntt``)."""
+    if "pallas" in tb and x.shape[-1] >= (1 << 14):
+        from .pallas_ntt import intt_pallas
+        return intt_pallas(x, tb["pallas"], limb_slice)
     N = x.shape[-1]
     n1 = tb["w_mid"].shape[-2]
     n2 = tb["w_mid"].shape[-1]

@@ -1,0 +1,305 @@
+"""Pallas TPU kernel: negacyclic NTT/INTT as exact int8 MXU matmuls.
+
+The flagship device kernel (SURVEY.md §7.2 step 2; replaces the hot loop
+of SEAL's Harvey butterflies, thirdparty/SEAL-4.1-bs/native/src/seal/util/
+ntt.h:195-266).  The jnp 4-step path (ntt.py) round-trips HBM on every
+butterfly stage (~16 passes over the array); this kernel keeps one
+(n1, n2) tile per (batch, limb) VMEM-resident and evaluates the two
+axis DFTs as *matrix multiplies* on the MXU:
+
+    Y[k2, k1] = sum_{j2} W2[k2, j2] * T[k1, j2] * sum_{j1} W1[k1, j1] X[j1, j2]
+
+with W1[k1, j1] = w^(n2 j1 k1), W2[k2, j2] = w^(n1 j2 k2), T = w^(k1 j2)
+(the same factorization ntt.py uses, natural order in and out, no
+bit-reversal).  Exactness: operands are decomposed into 4 balanced
+signed 8-bit digits; each int8 x int8 -> int32 dot_general is exact
+(|sum| <= n1 * 4 * 128^2 < 2^31), and the 7 digit buckets are folded
+mod q with one Montgomery multiply each (modmat.py uses the same trick
+for CPMM).
+
+Montgomery convention: x arrives in Montgomery form (xR); the W digit
+planes hold *plain* residues, so the contraction preserves the R factor;
+bucket constants are 2^(8k) * R mod q so folding is a true multiply.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NDIG = 4
+U32 = jnp.uint32
+
+
+def _host_balanced_digits(x: np.ndarray) -> np.ndarray:
+    """uint32/uint64 [..., ] -> int8 [NDIG, ...] with x = sum 2^(8k) d_k."""
+    digs = np.empty((NDIG,) + x.shape, dtype=np.int8)
+    cur = x.astype(np.int64)
+    for k in range(NDIG):
+        d = cur & 0xFF
+        carry = d > 127
+        d = np.where(carry, d - 256, d)
+        cur = (cur >> 8) + carry
+        digs[k] = d.astype(np.int8)
+    assert np.all(cur == 0)
+    return digs
+
+
+def _dft_matrix(omega: int, n: int, step: int, q: int, inverse: bool
+                ) -> np.ndarray:
+    """[n, n] uint32 with M[k, j] = w^(j*k), w = omega^(+-step) of order n."""
+    from .primes import inv_mod
+    w = pow(omega, step, q)
+    if inverse:
+        w = inv_mod(w, q)
+    pows = np.empty(n, dtype=np.uint32)
+    cur = 1
+    for j in range(n):
+        pows[j] = cur
+        cur = cur * w % q
+    idx = np.arange(n, dtype=np.int64)
+    return pows[np.outer(idx, idx) % n]
+
+
+class PallasNttTables:
+    """Per-context tables for the Pallas kernel, built from NttTables."""
+
+    def __init__(self, nt):
+        self.N = N = nt.N
+        self.n1, self.n2 = n1, n2 = nt.n1, nt.n2
+        qs = nt.qs
+        L = len(qs)
+        self.L = L
+
+        w1 = np.empty((L, NDIG, n1, n1), np.int8)
+        w2 = np.empty((L, NDIG, n2, n2), np.int8)
+        w1i = np.empty((L, NDIG, n1, n1), np.int8)
+        w2i = np.empty((L, NDIG, n2, n2), np.int8)
+        for i, q in enumerate(qs):
+            omega = nt.psi[i] * nt.psi[i] % q
+            w1[i] = _host_balanced_digits(_dft_matrix(omega, n1, n2, q, False))
+            w2[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q, False))
+            w1i[i] = _host_balanced_digits(_dft_matrix(omega, n1, n2, q, True))
+            w2i[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q, True))
+        self.w1_dig, self.w2_dig = w1, w2
+        self.w1i_dig, self.w2i_dig = w1i, w2i
+
+        # tiles (Montgomery form, reuse NttTables arrays)
+        self.psi_tile = nt.psi_mont.reshape(L, n1, n2)
+        self.psiinv_n_tile = nt.psiinv_n_mont.reshape(L, n1, n2)
+        self.mid_tile = nt.w_mid                      # [L, n1, n2]
+        self.mid_inv_tile_T = np.ascontiguousarray(
+            np.swapaxes(nt.w_mid_inv, -1, -2))        # [L, n2, n1]
+
+        # bucket fold constants: 2^(8k)*R mod q (true multiply under REDC)
+        # and a multiple-of-q offset making each int32 bucket non-negative.
+        nb = 2 * NDIG - 1
+        pairs = [min(k + 1, nb - k) for k in range(nb)]  # digit pairs per k
+        self.fold_mul = np.empty((L, nb), np.uint32)
+        self.fold_off = np.empty((L, nb), np.uint32)
+        nmax = max(n1, n2)
+        for i, q in enumerate(qs):
+            for k in range(nb):
+                self.fold_mul[i, k] = (1 << (8 * k)) * (1 << 32) % q
+                m = pairs[k] * nmax * 128 * 128       # |bucket| bound
+                self.fold_off[i, k] = (m // q + 1) * q
+        self.q = nt.q
+        self.qneg_inv = nt.qneg_inv
+
+    def device(self) -> dict:
+        return {
+            "w1_dig": jnp.asarray(self.w1_dig),
+            "w2_dig": jnp.asarray(self.w2_dig),
+            "w1i_dig": jnp.asarray(self.w1i_dig),
+            "w2i_dig": jnp.asarray(self.w2i_dig),
+            "psi_tile": jnp.asarray(self.psi_tile),
+            "psiinv_n_tile": jnp.asarray(self.psiinv_n_tile),
+            "mid_tile": jnp.asarray(self.mid_tile),
+            "mid_inv_tile_T": jnp.asarray(self.mid_inv_tile_T),
+            # per-limb scalar tables as [L, 1, k] so SMEM blocks (1, 1, k)
+            # match the trailing array dims exactly (Mosaic block rule)
+            "fold_mul": jnp.asarray(self.fold_mul)[:, None, :],
+            "fold_off": jnp.asarray(self.fold_off)[:, None, :],
+            "q": jnp.asarray(self.q).reshape(-1, 1, 1),
+            "qneg_inv": jnp.asarray(self.qneg_inv).reshape(-1, 1, 1),
+            "meta": (self.N, self.n1, self.n2, self.L),
+        }
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (operate on loaded jnp values)
+# ---------------------------------------------------------------------------
+
+def _k_mul_full(a, b):
+    """Exact 32x32 -> (hi, lo) uint32 via 16-bit halves."""
+    M = jnp.uint32(0xFFFF)
+    al, ah = a & M, a >> 16
+    bl, bh = b & M, b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + hl
+    mid_c = (mid < lh).astype(U32)
+    lo = ll + (mid << 16)
+    lo_c = (lo < ll).astype(U32)
+    hi = hh + (mid >> 16) + (mid_c << 16) + lo_c
+    return hi, lo
+
+
+def _k_mont_mul(a, b, q, qneg):
+    hi, lo = _k_mul_full(a, b)
+    m = lo * qneg
+    mq_hi, _ = _k_mul_full(m, q)
+    res = hi + mq_hi + (lo != 0).astype(U32)
+    return jnp.where(res >= q, res - q, res)
+
+
+def _k_digits(x):
+    """uint32 [r, c] -> 4 int8 planes (balanced)."""
+    digs = []
+    cur = x
+    for _ in range(NDIG):
+        d = (cur & jnp.uint32(0xFF)).astype(jnp.int32)
+        carry = d > 127
+        d = jnp.where(carry, d - 256, d)
+        cur = (cur >> 8) + carry.astype(U32)
+        digs.append(d.astype(jnp.int8))
+    return digs
+
+
+def _k_mod_matmul(wd, x, q, qneg, fold_mul, fold_off, transpose_x: bool):
+    """Exact modular matmul W @ X (or contraction on X's axis 1).
+
+    wd: int8 [NDIG, n, n] digit planes of plain residues W.
+    x:  uint32 [n, m] (transpose_x=False: contract W cols with X rows) or
+        uint32 [r, n] (transpose_x=True: contract on axis 1 of both,
+        result [n_out, r]).
+    Returns uint32 [n_out, m or r] = W @ X mod q, preserving any
+    Montgomery factor carried by x.
+    """
+    xd = _k_digits(x)
+    nb = 2 * NDIG - 1
+    buckets = [None] * nb
+    dims = (((1,), (1,)), ((), ())) if transpose_x else (((1,), (0,)), ((), ()))
+    for a in range(NDIG):
+        for b in range(NDIG):
+            part = jax.lax.dot_general(
+                wd[a], xd[b], dimension_numbers=dims,
+                preferred_element_type=jnp.int32)
+            k = a + b
+            buckets[k] = part if buckets[k] is None else buckets[k] + part
+    acc = None
+    for k in range(nb):
+        u = buckets[k].astype(U32) + fold_off[k]
+        term = _k_mont_mul(u, fold_mul[k], q, qneg)
+        acc = term if acc is None else \
+            jnp.where((s := acc + term) >= q, s - q, s)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, w1_ref, w2_ref, psi_ref, mid_ref, fm_ref, fo_ref,
+                q_ref, qneg_ref, out_ref, *, n1, n2):
+    q = q_ref[0, 0, 0]
+    qneg = qneg_ref[0, 0, 0]
+    fm = fm_ref[0, 0]
+    fo = fo_ref[0, 0]
+    x = x_ref[0, 0]                                            # [n1, n2]
+    x = _k_mont_mul(x, psi_ref[0], q, qneg)                    # psi twist
+    a = _k_mod_matmul(w1_ref[0], x, q, qneg, fm, fo, False)     # [n1, n2]
+    a = _k_mont_mul(a, mid_ref[0], q, qneg)                     # mid twiddle
+    y = _k_mod_matmul(w2_ref[0], a, q, qneg, fm, fo, True)      # [n2, n1]
+    out_ref[0, 0] = y
+
+
+def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, psiinv_ref, fm_ref,
+                fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2):
+    q = q_ref[0, 0, 0]
+    qneg = qneg_ref[0, 0, 0]
+    fm = fm_ref[0, 0]
+    fo = fo_ref[0, 0]
+    y = x_ref[0, 0]                                            # [n2, n1]
+    b = _k_mod_matmul(w2i_ref[0], y, q, qneg, fm, fo, False)    # [n2, n1]
+    b = _k_mont_mul(b, midinv_ref[0], q, qneg)                  # [n2, n1]
+    x = _k_mod_matmul(w1i_ref[0], b, q, qneg, fm, fo, True)     # [n1, n2]
+    x = _k_mont_mul(x, psiinv_ref[0], q, qneg)                  # untwist + 1/N
+    out_ref[0, 0] = x
+
+
+def _call(kernel, B, Lact, lo, mat_shapes, in_tile, out_tile, interpret):
+    """Build the pallas_call for x tiles [B, Lact, *in_tile] -> output
+    tiles [B, Lact, *out_tile].  ``mat_shapes``: trailing block shapes for
+    the 4 per-limb matrix inputs, in argument order.  Limb tables are
+    indexed at absolute limb lo + l; scalar tables live in SMEM."""
+    nb = 2 * NDIG - 1
+    grid = (B, Lact)
+
+    def limb(blk, space=pltpu.VMEM):
+        def idx(b, l):
+            return (l + lo,) + (0,) * len(blk)
+        return pl.BlockSpec((1,) + blk, idx, memory_space=space)
+
+    in_specs = [
+        pl.BlockSpec((1, 1) + in_tile, lambda b, l: (b, l, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [limb(s) for s in mat_shapes] + [
+        limb((1, nb), pltpu.SMEM),        # fold_mul
+        limb((1, nb), pltpu.SMEM),        # fold_off
+        limb((1, 1), pltpu.SMEM),         # q
+        limb((1, 1), pltpu.SMEM),         # qneg_inv
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1) + out_tile, lambda b, l: (b, l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lact) + out_tile, jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def ntt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
+    """Forward negacyclic NTT via the Pallas kernel.  Same contract as
+    ntt.ntt: x [..., Lact, N] uint32 Montgomery -> NTT values at index k
+    <-> root exponent 2k+1, natural order."""
+    N, n1, n2, L = tbp["meta"]
+    lo = 0 if limb_slice is None else limb_slice[0]
+    lead = x.shape[:-2]
+    Lact = x.shape[-2]
+    x2 = x.reshape((-1, Lact, n1, n2))
+    fn = _call(functools.partial(_fwd_kernel, n1=n1, n2=n2),
+               x2.shape[0], Lact, lo,
+               [(NDIG, n1, n1), (NDIG, n2, n2), (n1, n2), (n1, n2)],
+               (n1, n2), (n2, n1), interpret)
+    out = fn(x2, tbp["w1_dig"], tbp["w2_dig"], tbp["psi_tile"],
+             tbp["mid_tile"], tbp["fold_mul"], tbp["fold_off"],
+             tbp["q"], tbp["qneg_inv"])
+    return out.reshape(lead + (Lact, N))
+
+
+def intt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
+    """Inverse negacyclic NTT via the Pallas kernel (inverse of
+    ntt_pallas, including the 1/N factor)."""
+    N, n1, n2, L = tbp["meta"]
+    lo = 0 if limb_slice is None else limb_slice[0]
+    lead = x.shape[:-2]
+    Lact = x.shape[-2]
+    x2 = x.reshape((-1, Lact, n2, n1))
+    fn = _call(functools.partial(_inv_kernel, n1=n1, n2=n2),
+               x2.shape[0], Lact, lo,
+               [(NDIG, n2, n2), (NDIG, n1, n1), (n2, n1), (n1, n2)],
+               (n2, n1), (n1, n2), interpret)
+    out = fn(x2, tbp["w2i_dig"], tbp["w1i_dig"], tbp["mid_inv_tile_T"],
+             tbp["psiinv_n_tile"], tbp["fold_mul"], tbp["fold_off"],
+             tbp["q"], tbp["qneg_inv"])
+    return out.reshape(lead + (Lact, N))

@@ -238,8 +238,16 @@ class Context:
     # -- device pytree -----------------------------------------------------
     def device(self) -> dict:
         if self._dev is None:
+            import os
+            import jax
+            ntt_dev = self.ntt.device()
+            if (jax.default_backend() not in ("cpu",)
+                    and self.cfg.N >= (1 << 14)
+                    and os.environ.get("MOAI_PALLAS", "1") != "0"):
+                from .pallas_ntt import PallasNttTables
+                ntt_dev["pallas"] = PallasNttTables(self.ntt).device()
             self._dev = {
-                "ntt": self.ntt.device(),
+                "ntt": ntt_dev,
                 "q": jnp.asarray(self.ntt.q),
                 "qneg_inv": jnp.asarray(self.ntt.qneg_inv),
                 "r2": jnp.asarray(self.ntt.r2),
