@@ -98,6 +98,139 @@ def cheb_eval(ev: Evaluator, x: Ciphertext, coeffs: np.ndarray
     return ev.add_const(acc, float(coeffs[0]))
 
 
+def _cheb_divmod(c, s):
+    """Chebyshev-basis division p = q*T_s + r with deg r < s, using
+    T_k = 2*T_s*T_{k-s} - T_{|k-2s|} (k > s) and T_s*T_0 = T_s."""
+    c = [float(v) for v in c]
+    d = len(c) - 1
+    if d < s:
+        return [0.0], c
+    q = [0.0] * (d - s + 1)
+    for k in range(d, s - 1, -1):
+        a = c[k]
+        if a == 0.0:
+            continue
+        c[k] = 0.0
+        if k == s:
+            q[0] += a
+        else:
+            q[k - s] += 2.0 * a
+            c[abs(k - 2 * s)] -= a
+    return q, c[:s]
+
+
+def _trim(c):
+    d = len(c) - 1
+    while d > 0 and c[d] == 0.0:
+        d -= 1
+    return c[:d + 1]
+
+
+def cheb_eval_bsgs(ev: Evaluator, x: Ciphertext, coeffs: np.ndarray
+                   ) -> Ciphertext:
+    """Baby-step/giant-step Chebyshev evaluation: ~2*sqrt(deg) ct-ct
+    multiplies instead of ~deg, same multiplicative depth (reference's
+    poly-heap evaluation: Polynomial::generate_poly_heap +
+    homomorphic_poly_evaluation, common/Polynomial.cpp:255; the quotient/
+    remainder recursion is the Han-Ki/Bossuat-style BSGS).
+
+    Exact-scale discipline: every leaf coefficient multiply lands at a
+    computed target so each quotient*T_s product rescales EXACTLY to its
+    parent's target scale — no drift, no match_scale levels.
+    """
+    coeffs = _trim(list(np.asarray(coeffs, np.float64)))
+    deg = len(coeffs) - 1
+    tgt = x.scale
+    if deg < 4:
+        return cheb_eval(ev, x, coeffs)
+    g = 1 << max(1, (deg + 1).bit_length() // 2)
+    m = 0
+    while (g << m) <= deg:
+        m += 1
+
+    # babies T_1..T_g and giants T_{2g}, ..., T_{g*2^(m-1)}
+    T: dict[int, Ciphertext] = {1: x}
+
+    def get(k: int) -> Ciphertext:
+        if k in T:
+            return T[k]
+        j = k // 2
+        if k % 2 == 0:
+            tj = get(j)
+            out = ev.add_const(ev.mul_int(ev.square_rescale(tj), 2), -1.0)
+        else:
+            a, b = get(j), get(j + 1)
+            ab = ev.mul_int(ev.mul_relin_rescale(a, b), 2)
+            t1 = ev.match_scale(x, ab.scale)
+            out = ev.sub(*ev.align(ab, t1))
+        T[k] = out
+        return out
+
+    for k in range(2, g + 1):
+        get(k)
+    s = g
+    for _ in range(m - 1):
+        s *= 2
+        get(s)
+
+    def pred_nq(c) -> int:
+        """Predict the result level of rec(c) without emitting ops."""
+        c = _trim(c)
+        d = len(c) - 1
+        if d == 0:
+            return x.n_q - 2               # constant path: one rescale
+        if d <= g:
+            return min(T[k].n_q for k in range(1, d + 1)
+                       if c[k] != 0.0) - 2
+        s_ = g
+        while (s_ << 1) <= d:
+            s_ <<= 1
+        qc, rc = _cheb_divmod(c, s_)
+        qn = pred_nq(qc)
+        prod = min(qn, T[s_].n_q) - 2
+        rn = pred_nq(_trim(rc))
+        return min(prod, rn) if _trim(rc) != [0.0] else prod
+
+    def rec(c, target: float) -> Ciphertext:
+        c = _trim(c)
+        d = len(c) - 1
+        if d == 0:
+            # constant polynomial: encode as const * (drop to a real ct)
+            base = ev.mod_drop_to(x, x.n_q)
+            z = ev.rescale_pair(ev.mul_const_to(base, 0.0, target))
+            return ev.add_const(z, c[0])
+        if d <= g:
+            terms = []
+            for k in range(1, d + 1):
+                if c[k] == 0.0:
+                    continue
+                terms.append(ev.rescale_pair(
+                    ev.mul_const_to(T[k], c[k], target)))
+            n_min = min(t.n_q for t in terms)
+            acc = None
+            for t in terms:
+                t = ev.mod_drop_to(t, n_min)
+                acc = t if acc is None else ev.add(acc, t)
+            return ev.add_const(acc, c[0])
+        s_ = g
+        while (s_ << 1) <= d:
+            s_ <<= 1
+        qc, rc = _cheb_divmod(c, s_)
+        Ts = T[s_]
+        qn = pred_nq(qc)
+        pair_p = ev.level_pair_scale(min(qn, Ts.n_q))
+        q_target = target * pair_p / Ts.scale
+        qv = rec(qc, q_target)
+        prod = ev.mul_relin_rescale(qv, Ts)      # scale == target exactly
+        rc = _trim(rc)
+        if rc == [0.0]:
+            return prod
+        rv = rec(rc, target)
+        return ev.add(*ev.align(prod, rv))
+
+    return rec(coeffs, tgt)
+
+
 class ModReducer:
     """Homomorphic t -> sin(2*pi*t) for t = m*Delta/q0 + I, |I| <= K
     (reference: ModularReducer::modular_reduction, ModularReducer.cpp:58).
@@ -145,7 +278,7 @@ class ModReducer:
         a = pre_scale / (da * self.x_max)
         x = ev.rescale_pair(ev.mul_const_to(t, a, ev.ctx.scale))
         x = ev.add_const(x, -0.25 / (da * self.x_max))
-        c = cheb_eval(ev, x, self.coef)
+        c = cheb_eval_bsgs(ev, x, self.coef)
         for _ in range(self.double_angles):
             c = ev.add_const(ev.mul_int(ev.square_rescale(c), 2), -1.0)
         if self.arcsin_deg >= 3:

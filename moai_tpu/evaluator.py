@@ -395,8 +395,12 @@ class Evaluator:
         if self.galois_keys is not None and g in self.galois_keys.keys:
             return self.apply_galois(a, g)
         best = None
-        for cand in (steps, steps - n):
-            digits = self._naf_digits(cand)
+        cands = [self._naf_digits(steps), self._naf_digits(steps - n),
+                 # plain binary (positive powers only) as a last resort —
+                 # key sets without negative-power keys still decompose
+                 [1 << b for b in range(n.bit_length())
+                  if steps & (1 << b)]]
+        for digits in cands:
             elts = [pow(5, d % n, two_n) for d in digits]
             if all(e in self.galois_keys.keys for e in elts):
                 if best is None or len(elts) < len(best):

@@ -194,12 +194,12 @@ def gelu(ev: Evaluator, x: Ciphertext, domain: float = 13.0,
     power ladder; here a Chebyshev-basis doubling ladder, whose O(1)
     coefficients avoid the monomial basis' 2^degree noise blowup, so
     degree 32 costs the same depth as 24 with ~5x less error)."""
-    from ..boot.evalmod import cheb_eval
+    from ..boot.evalmod import cheb_eval_bsgs
     key = (domain, degree)
     if key not in _cache:
         _cache[key] = fit_gelu_cheb(domain, degree)
     u = ev.rescale_pair(ev.mul_const_to(x, 1.0 / domain, x.scale))
-    return cheb_eval(ev, u, _cache[key])
+    return cheb_eval_bsgs(ev, u, _cache[key])
 
 
 def sign_composite(ev: Evaluator, x: Ciphertext, polys) -> Ciphertext:
@@ -207,9 +207,9 @@ def sign_composite(ev: Evaluator, x: Ciphertext, polys) -> Ciphertext:
     (reference: sgn_eval's f4∘f4∘g4∘g4 chain, gelu.hpp:109-147; the
     polynomials here come from minimax.fit_sign_composite instead of
     hard-coded coefficient tables)."""
-    from ..boot.evalmod import cheb_eval
+    from ..boot.evalmod import cheb_eval_bsgs
     for p in polys:
-        x = cheb_eval(ev, x, p)
+        x = cheb_eval_bsgs(ev, x, p)
     return x
 
 
@@ -236,7 +236,7 @@ def gelu_sign(ev: Evaluator, x: Ciphertext, breakpoint: float = 3.5,
         mid, _ = remez_fit(g, [(-1.0, 1.0)], mid_degree)
         _cache[key] = (polys, mid)
     polys, mid = _cache[key]
-    from ..boot.evalmod import cheb_eval
+    from ..boot.evalmod import cheb_eval_bsgs as cheb_eval
     b = breakpoint
     u = ev.rescale_pair(ev.mul_const_to(x, 1.0 / input_bound, x.scale))
     s0 = sign_composite(ev, ev.add_const(u, b / input_bound), polys)

@@ -173,30 +173,29 @@ def _k_digits(x):
     return digs
 
 
-def _k_mod_matmul(wd, x, q, qneg, fold_mul, fold_off, transpose_x: bool):
-    """Exact modular matmul W @ X (or contraction on X's axis 1).
+def _k_mod_matmul(wd, xd, q, qneg, fold_mul, fold_off, cdim: int):
+    """Exact modular matmul over digit planes, folding bucket-by-bucket
+    (bounded VMEM: one int32 bucket live at a time).
 
-    wd: int8 [NDIG, n, n] digit planes of plain residues W.
-    x:  uint32 [n, m] (transpose_x=False: contract W cols with X rows) or
-        uint32 [r, n] (transpose_x=True: contract on axis 1 of both,
-        result [n_out, r]).
-    Returns uint32 [n_out, m or r] = W @ X mod q, preserving any
-    Montgomery factor carried by x.
+    wd: int8 [NDIG, n_out, n] digit planes of plain residues W.
+    xd: list of NDIG int8 planes [bt, ..., n at axis ``cdim``].
+    Contraction: W axis 1 against x axis ``cdim``; result
+    [n_out, *x_other_axes] uint32 mod q, preserving any Montgomery
+    factor carried by x.
     """
-    xd = _k_digits(x)
     nb = 2 * NDIG - 1
-    buckets = [None] * nb
-    dims = (((1,), (1,)), ((), ())) if transpose_x else (((1,), (0,)), ((), ()))
-    for a in range(NDIG):
-        for b in range(NDIG):
-            part = jax.lax.dot_general(
-                wd[a], xd[b], dimension_numbers=dims,
-                preferred_element_type=jnp.int32)
-            k = a + b
-            buckets[k] = part if buckets[k] is None else buckets[k] + part
+    dims = (((1,), (cdim,)), ((), ()))
     acc = None
     for k in range(nb):
-        u = buckets[k].astype(U32) + fold_off[k]
+        part = None
+        for a in range(NDIG):
+            b = k - a
+            if b < 0 or b >= NDIG:
+                continue
+            t = jax.lax.dot_general(wd[a], xd[b], dimension_numbers=dims,
+                                    preferred_element_type=jnp.int32)
+            part = t if part is None else part + t
+        u = part.astype(U32) + fold_off[k]
         term = _k_mont_mul(u, fold_mul[k], q, qneg)
         acc = term if acc is None else \
             jnp.where((s := acc + term) >= q, s - q, s)
@@ -204,44 +203,69 @@ def _k_mod_matmul(wd, x, q, qneg, fold_mul, fold_off, transpose_x: bool):
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# kernels — per grid cell: bt batch rows x 1 limb, VMEM-resident
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, w1_ref, w2_ref, psi_ref, mid_ref, fm_ref, fo_ref,
-                q_ref, qneg_ref, out_ref, *, n1, n2):
+                q_ref, qneg_ref, out_ref, *, n1, n2, bt):
     q = q_ref[0, 0, 0]
     qneg = qneg_ref[0, 0, 0]
-    fm = fm_ref[0, 0]
-    fo = fo_ref[0, 0]
-    x = x_ref[0, 0]                                            # [n1, n2]
-    x = _k_mont_mul(x, psi_ref[0], q, qneg)                    # psi twist
-    a = _k_mod_matmul(w1_ref[0], x, q, qneg, fm, fo, False)     # [n1, n2]
-    a = _k_mont_mul(a, mid_ref[0], q, qneg)                     # mid twiddle
-    y = _k_mod_matmul(w2_ref[0], a, q, qneg, fm, fo, True)      # [n2, n1]
-    out_ref[0, 0] = y
+    nb = 2 * NDIG - 1
+    fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
+    fo = [fo_ref[0, 0, k] for k in range(nb)]
+    if bt == 1:
+        # 2D path (Mosaic-friendly: no 3D transposes)
+        x = x_ref[0, 0]                                        # [n1, n2]
+        x = _k_mont_mul(x, psi_ref[0], q, qneg)
+        a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, qneg, fm, fo, 0)
+        a = _k_mont_mul(a, mid_ref[0], q, qneg)
+        y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, qneg, fm, fo, 1)
+        out_ref[0, 0] = y                                      # [n2, n1]
+        return
+    x = x_ref[:, 0]                                # [bt, n1, n2]
+    x = _k_mont_mul(x, psi_ref[0][None], q, qneg)  # psi twist
+    # axis-1 DFT: contract j1 -> [n1, bt, n2]
+    a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, qneg, fm, fo, cdim=1)
+    a = _k_mont_mul(a, mid_ref[0][:, None, :], q, qneg)   # mid twiddle
+    # axis-2 DFT: contract j2 -> [n2, n1, bt]
+    y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, qneg, fm, fo, cdim=2)
+    out_ref[:, 0] = jnp.transpose(y, (2, 0, 1))    # [bt, n2, n1]
 
 
 def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, psiinv_ref, fm_ref,
-                fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2):
+                fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2, bt):
     q = q_ref[0, 0, 0]
     qneg = qneg_ref[0, 0, 0]
-    fm = fm_ref[0, 0]
-    fo = fo_ref[0, 0]
-    y = x_ref[0, 0]                                            # [n2, n1]
-    b = _k_mod_matmul(w2i_ref[0], y, q, qneg, fm, fo, False)    # [n2, n1]
-    b = _k_mont_mul(b, midinv_ref[0], q, qneg)                  # [n2, n1]
-    x = _k_mod_matmul(w1i_ref[0], b, q, qneg, fm, fo, True)     # [n1, n2]
-    x = _k_mont_mul(x, psiinv_ref[0], q, qneg)                  # untwist + 1/N
-    out_ref[0, 0] = x
-
-
-def _call(kernel, B, Lact, lo, mat_shapes, in_tile, out_tile, interpret):
-    """Build the pallas_call for x tiles [B, Lact, *in_tile] -> output
-    tiles [B, Lact, *out_tile].  ``mat_shapes``: trailing block shapes for
-    the 4 per-limb matrix inputs, in argument order.  Limb tables are
-    indexed at absolute limb lo + l; scalar tables live in SMEM."""
     nb = 2 * NDIG - 1
-    grid = (B, Lact)
+    fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
+    fo = [fo_ref[0, 0, k] for k in range(nb)]
+    if bt == 1:
+        y = x_ref[0, 0]                                        # [n2, n1]
+        b = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, 0)
+        b = _k_mont_mul(b, midinv_ref[0], q, qneg)
+        x = _k_mod_matmul(w1i_ref[0], _k_digits(b), q, qneg, fm, fo, 1)
+        x = _k_mont_mul(x, psiinv_ref[0], q, qneg)
+        out_ref[0, 0] = x                                      # [n1, n2]
+        return
+    y = x_ref[:, 0]                                # [bt, n2, n1]
+    # inverse axis-2 DFT: contract k2 -> [n2(j2), bt, n1]
+    b = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, cdim=1)
+    b = _k_mont_mul(b, midinv_ref[0][:, None, :], q, qneg)
+    # inverse axis-1 DFT: contract k1 -> [n1(j1), n2, bt]
+    x = _k_mod_matmul(w1i_ref[0], _k_digits(b), q, qneg, fm, fo, cdim=2)
+    x = _k_mont_mul(x, psiinv_ref[0][:, :, None], q, qneg)  # untwist + 1/N
+    out_ref[:, 0] = jnp.transpose(x, (2, 0, 1))    # [bt, n1, n2]
+
+
+def _call(kernel, B, bt, Lact, lo, mat_shapes, in_tile, out_tile,
+          interpret):
+    """Build the pallas_call for x tiles [B, Lact, *in_tile] -> output
+    tiles [B, Lact, *out_tile], bt batch rows per grid cell.
+    ``mat_shapes``: trailing block shapes for the 4 per-limb matrix
+    inputs, in argument order.  Limb tables are indexed at absolute limb
+    lo + l; scalar tables live in SMEM."""
+    nb = 2 * NDIG - 1
+    grid = (B // bt, Lact)
 
     def limb(blk, space=pltpu.VMEM):
         def idx(b, l):
@@ -249,7 +273,7 @@ def _call(kernel, B, Lact, lo, mat_shapes, in_tile, out_tile, interpret):
         return pl.BlockSpec((1,) + blk, idx, memory_space=space)
 
     in_specs = [
-        pl.BlockSpec((1, 1) + in_tile, lambda b, l: (b, l, 0, 0),
+        pl.BlockSpec((bt, 1) + in_tile, lambda b, l: (b, l, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [limb(s) for s in mat_shapes] + [
         limb((1, nb), pltpu.SMEM),        # fold_mul
@@ -261,11 +285,27 @@ def _call(kernel, B, Lact, lo, mat_shapes, in_tile, out_tile, interpret):
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1) + out_tile, lambda b, l: (b, l, 0, 0),
+        out_specs=pl.BlockSpec((bt, 1) + out_tile,
+                               lambda b, l: (b, l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lact) + out_tile, jnp.uint32),
         interpret=interpret,
     )
+
+
+def _batch_tile(B: int, n1: int, n2: int) -> int:
+    """Batch rows per grid cell.  Default 1: the 2D kernel is the path
+    Mosaic compiles today (the 3D batched variant trips "unsupported
+    shape cast" on the final transpose); opt in via MOAI_PALLAS_BT to
+    experiment with larger MXU tiles."""
+    import os
+    want = int(os.environ.get("MOAI_PALLAS_BT", "1"))
+    budget = max(1, (8 << 20) // (n1 * n2 * 16))
+    bt = 1
+    for cand in (2, 4, 8):
+        if cand <= want and B % cand == 0 and cand <= budget:
+            bt = cand
+    return bt
 
 
 def ntt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
@@ -277,8 +317,9 @@ def ntt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
     lead = x.shape[:-2]
     Lact = x.shape[-2]
     x2 = x.reshape((-1, Lact, n1, n2))
-    fn = _call(functools.partial(_fwd_kernel, n1=n1, n2=n2),
-               x2.shape[0], Lact, lo,
+    bt = _batch_tile(x2.shape[0], n1, n2)
+    fn = _call(functools.partial(_fwd_kernel, n1=n1, n2=n2, bt=bt),
+               x2.shape[0], bt, Lact, lo,
                [(NDIG, n1, n1), (NDIG, n2, n2), (n1, n2), (n1, n2)],
                (n1, n2), (n2, n1), interpret)
     out = fn(x2, tbp["w1_dig"], tbp["w2_dig"], tbp["psi_tile"],
@@ -295,8 +336,9 @@ def intt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
     lead = x.shape[:-2]
     Lact = x.shape[-2]
     x2 = x.reshape((-1, Lact, n2, n1))
-    fn = _call(functools.partial(_inv_kernel, n1=n1, n2=n2),
-               x2.shape[0], Lact, lo,
+    bt = _batch_tile(x2.shape[0], n1, n2)
+    fn = _call(functools.partial(_inv_kernel, n1=n1, n2=n2, bt=bt),
+               x2.shape[0], bt, Lact, lo,
                [(NDIG, n2, n2), (NDIG, n1, n1), (n2, n1), (n1, n2)],
                (n2, n1), (n1, n2), interpret)
     out = fn(x2, tbp["w2i_dig"], tbp["w1i_dig"], tbp["mid_inv_tile_T"],

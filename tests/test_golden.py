@@ -167,10 +167,12 @@ def test_ccmm_qkt_golden(he):
     assert np.abs(got - want).max() < 2e-3
 
 
+@pytest.mark.slow
 def test_softmax_golden(he):
     """Encrypted masked softmax on the real layer-0 head-0 scores vs the
     golden aftsoftmax (reference: softmax_boot, softmax.hpp:308; the
-    refresh slot is identity here — depth is in-budget at test scale)."""
+    refresh slot is identity here — depth is in-budget at test scale).
+    Slow: the 17-level exp/inverse chain dominates fast-suite compile."""
     from moai_tpu.ops.nonlinear import softmax_diag, diag_valid_masks
     from moai_tpu.ciphertext import Ciphertext
     ctx, enc, encryptor, decryptor, ev, num_x = he

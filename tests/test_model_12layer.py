@@ -1,0 +1,101 @@
+"""Full 12-layer encrypted BERT stack with per-layer drift anchoring.
+
+The TPU-native analog of the reference's all_layer_test loop with its
+per-layer decrypted dumps (reference: test_full_scheme.hpp:484-1120,
+layer_N.txt checkpoints :1048-1065): 12 EncryptedBertLayers composed
+through the refresh callback at reduced dimensions, every layer's output
+decrypted (harness-side) and checked against the exact plaintext chain.
+
+Runtime knob: MOAI_TEST_LAYERS (default 12) for quicker partial runs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from moai_tpu.params import CKKSConfig, make_context
+from moai_tpu.encoder import Encoder
+from moai_tpu.keys import KeyGenerator
+from moai_tpu.encrypt import Encryptor, Decryptor
+from moai_tpu.evaluator import Evaluator
+from moai_tpu.utils.recrypt import Recryptor
+from moai_tpu.ops.packing import batch_input, unpack_batch
+from moai_tpu.models.bert import (BertDims, BertLayerWeights, DepthPlan,
+                                  EncryptedBertModel, galois_steps_for_model,
+                                  calibrate_domains, plain_bert_layer)
+
+RNG = np.random.default_rng(123)
+
+DIMS = BertDims(num_x=64, num_row=8, d_model=16, num_heads=2, head_dim=8,
+                d_inter=32)
+PLAN = DepthPlan(exp_r=5, inv_iters=5, ln_newton=2, ln_gold=0,
+                 gelu_degree=16)
+N_LAYERS = int(os.environ.get("MOAI_TEST_LAYERS", "12"))
+N_INPUTS = 2
+LENS = np.array([8, 6])
+
+
+def rand_weights() -> BertLayerWeights:
+    d, hh, di = DIMS.d_model, DIMS.num_heads * DIMS.head_dim, DIMS.d_inter
+    g = lambda *s: RNG.normal(0, 0.22, s)
+    return BertLayerWeights(
+        wq=g(d, hh), bq=g(hh) * 0.1, wk=g(d, hh), bk=g(hh) * 0.1,
+        wv=g(d, hh), bv=g(hh) * 0.1, wo=g(d, d) * 0.4, bo=g(d) * 0.1,
+        ln1_g=RNG.uniform(0.8, 1.2, d), ln1_b=g(d) * 0.1,
+        wi=g(d, di) * 0.4, bi=g(di) * 0.1, wf=g(di, d) * 0.4, bf=g(d) * 0.1,
+        ln2_g=RNG.uniform(0.8, 1.2, d), ln2_b=g(d) * 0.1)
+
+
+@pytest.mark.slow
+def test_bert_model_12_layers():
+    cfg = CKKSConfig(logN=10, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
+                     n_data_levels=13, n_boot_levels=0, dnum=2,
+                     hamming_weight=64)
+    ctx = make_context(cfg)
+    assert DIMS.num_x * DIMS.num_row == ctx.cfg.slots
+    enc = Encoder(ctx)
+    kg = KeyGenerator(ctx, seed=88)
+    gks = kg.gen_galois_keys(steps=galois_steps_for_model(DIMS))
+    encryptor = Encryptor(ctx, enc, kg.gen_public_key(), kg)
+    decryptor = Decryptor(ctx, enc, kg.sk)
+    ev = Evaluator(ctx, relin_key=kg.gen_relin_key(), galois_keys=gks)
+    rec = Recryptor(encryptor, decryptor)
+
+    weights = [rand_weights() for _ in range(N_LAYERS)]
+    xs = RNG.normal(0, 0.6, (N_INPUTS, DIMS.num_row, DIMS.d_model))
+    for j, ln_ in enumerate(LENS):
+        xs[j, ln_:] = 0.0
+
+    domains, max_table = calibrate_domains(xs, LENS, weights, DIMS)
+    # plaintext chain, layer by layer (the drift oracle)
+    chains = []
+    cur = [xs[j, :LENS[j]].copy() for j in range(N_INPUTS)]
+    for w in weights:
+        cur = [plain_bert_layer(x, w, DIMS) for x in cur]
+        chains.append([c.copy() for c in cur])
+
+    layer_errs = []
+
+    def on_layer(i, ct):
+        got_slots = decryptor.decrypt(ct).real
+        got = unpack_batch(got_slots, DIMS.num_x, DIMS.num_row, N_INPUTS)
+        err = max(float(np.abs(got[j, :LENS[j]] - chains[i][j]).max())
+                  for j in range(N_INPUTS))
+        layer_errs.append(err)
+        print(f"[12layer] layer {i}: max drift {err:.4f}")
+
+    model = EncryptedBertModel(
+        ev, enc, weights, DIMS, PLAN, LENS,
+        refresh=lambda ct, n_q: rec.recrypt(ct, n_q=n_q),
+        max_table=max_table, domains=domains, on_layer=on_layer)
+    x_ct = batch_input(encryptor, xs, DIMS.num_x, DIMS.num_row,
+                       n_q=model.n_att)
+    model(x_ct)
+
+    assert len(layer_errs) == N_LAYERS
+    # drift grows with depth (approximation error accumulates through the
+    # recrypt, which resets noise but not approximation); bound it layer
+    # by layer with a gentle linear allowance
+    for i, err in enumerate(layer_errs):
+        assert err < 0.06 + 0.02 * (i + 1), (i, err)

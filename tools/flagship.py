@@ -289,7 +289,7 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     gelu_deg = 24
     gelu_depth = 2 + max(1, (gelu_deg - 1).bit_length())
     n_ffn = lv(10)
-    n_gelu_out = n_ffn - 2 * gelu_depth
+    n_gelu_out = n_ffn - 2 - 2 * gelu_depth     # CPMM rescale + gelu
     ffn_chunk = p["ffn_chunk"]
 
     def enc_digits(Wm, n_q, w_scale):
