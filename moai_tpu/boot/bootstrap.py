@@ -73,6 +73,14 @@ class Bootstrapper:
         self._build_modraise_tables()
         self._imono = None
         self.n_out = n_out
+        # LT plaintexts-as-arguments machinery (keys-as-data for jit):
+        # _lt_mode is None (encode inline as trace constants), "collect"
+        # (encode + record, under jax.eval_shape), or "use" (consume the
+        # pytree passed to __call__ in the same deterministic order).
+        self._lt_mode = None
+        self._lt_store: list = []
+        self._lt_scales: list = []
+        self._lt_iter = 0
 
     # -- key planning ------------------------------------------------------
     def galois_steps(self) -> list[int]:
@@ -144,12 +152,16 @@ class Bootstrapper:
     # -- multiply by i (free monomial X^n) ---------------------------------
     def _i_mono(self, n_q: int) -> jnp.ndarray:
         if self._imono is None or self._imono.shape[0] < self.ctx.L:
+            import jax
             N = self.ctx.cfg.N
             coeffs = np.zeros((self.ctx.L, N), np.uint32)
             for j, qj in enumerate(self.ctx.q_primes):
                 coeffs[j, N // 2] = (1 << 32) % qj         # Montgomery 1
-            self._imono = ntt(jnp.asarray(coeffs), self.ev.tbd,
-                              limb_slice=(0, self.ctx.L))
+            # concrete even when first touched under a trace (the cached
+            # value must never be a tracer — collect_lt traces this path)
+            with jax.ensure_compile_time_eval():
+                self._imono = ntt(jnp.asarray(coeffs), self.ev.tbd,
+                                  limb_slice=(0, self.ctx.L))
         return self._imono[:n_q]
 
     def mul_i(self, ct: Ciphertext) -> Ciphertext:
@@ -161,14 +173,76 @@ class Bootstrapper:
         return ct.with_data(ma.mont_mul(ct.data, self._i_mono(ct.n_q),
                                         q, qneg))
 
+    # -- LT plaintexts as jit arguments ----------------------------------
+    def _pt_source(self, lt):
+        """Return a pt_source callable for apply_diagonals matching the
+        current mode, or None for inline encoding."""
+        from .linear import _encode_pt
+
+        if self._lt_mode == "collect":
+            import jax
+
+            def src(vec, scale, n_q):
+                # concrete even under the eval_shape collection trace —
+                # the stored plaintexts become jit ARGUMENTS later
+                with jax.ensure_compile_time_eval():
+                    pt = _encode_pt(self.ev, self.encoder, vec, scale, n_q)
+                self._lt_store.append(pt.data)
+                self._lt_scales.append((float(scale), n_q))
+                return pt
+            return src
+        if self._lt_mode == "use":
+            def src(vec, scale, n_q):
+                i = self._lt_iter
+                self._lt_iter += 1
+                s_rec, nq_rec = self._lt_scales[i]
+                assert nq_rec == n_q, (i, nq_rec, n_q)
+                return Plaintext(data=lt[i], scale=s_rec)
+            return src
+        return None
+
+    def collect_lt(self, ct_scale: float | None = None,
+                   n_polys: int = 2) -> list:
+        """Pre-encode every CoeffToSlot/SlotToCoeff diagonal plaintext by
+        abstractly tracing the pipeline (jax.eval_shape: no device
+        compute, no compiled constants).  Returns the plaintext pytree to
+        pass back as ``lt=`` — keeping ~100s of MB of key/plaintext data
+        out of the compiled HLO body (required for remote-compile
+        endpoints with bounded request size, and good for cache keys)."""
+        import jax
+        ctx = self.ctx
+        scale = ct_scale if ct_scale is not None else ctx.scale
+        self._lt_mode = "collect"
+        self._lt_store, self._lt_scales = [], []
+        try:
+            jax.eval_shape(
+                lambda d: self(Ciphertext(d, scale, True)).data,
+                jax.ShapeDtypeStruct((n_polys, ctx.n_q0, ctx.cfg.N),
+                                     jnp.uint32))
+        finally:
+            self._lt_mode = None
+        return list(self._lt_store)
+
     # -- full pipeline ------------------------------------------------------
-    def __call__(self, ct: Ciphertext) -> Ciphertext:
+    def __call__(self, ct: Ciphertext, lt: list | None = None) -> Ciphertext:
         ev, enc, ctx = self.ev, self.encoder, self.ctx
+        if lt is not None:
+            self._lt_mode = "use"
+            self._lt_iter = 0
+            try:
+                return self._run(ct, lt)
+            finally:
+                self._lt_mode = None
+        return self._run(ct, lt)
+
+    def _run(self, ct: Ciphertext, lt) -> Ciphertext:
+        ev, enc, ctx = self.ev, self.encoder, self.ctx
+        src = self._pt_source(lt)
         delta_in = ct.scale
         raised = self.modraise(ct)
         z = raised
         for lev in self.c2s_levels:
-            z = apply_diagonals(ev, enc, z, lev)
+            z = apply_diagonals(ev, enc, z, lev, pt_source=src)
         # reinterpret: slots now hold t = m*Delta_in/q0 + I at scale q0
         # (coefficients arrive bit-reversed in the factored path; EvalMod
         # is pointwise and SlotToCoeff consumes the same order, so the
@@ -189,7 +263,7 @@ class Bootstrapper:
         for i, lev in enumerate(self.s2c_levels):
             if i == len(self.s2c_levels) - 1:
                 lev = {d: v * alpha for d, v in lev.items()}
-            out = apply_diagonals(ev, enc, out, lev)
+            out = apply_diagonals(ev, enc, out, lev, pt_source=src)
         out = ev.with_scale(out, ctx.scale)
         if self.n_out is not None and out.n_q > self.n_out:
             out = ev.mod_drop_to(out, self.n_out)

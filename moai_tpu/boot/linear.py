@@ -57,8 +57,8 @@ def bsgs_steps(diag_indices, n: int) -> list[int]:
 
 
 def apply_diagonals(ev: Evaluator, encoder: Encoder, ct: Ciphertext,
-                    diags: dict[int, np.ndarray], scale: float | None = None
-                    ) -> Ciphertext:
+                    diags: dict[int, np.ndarray], scale: float | None = None,
+                    pt_source=None) -> Ciphertext:
     """Homomorphic M @ slots(ct) via BSGS over the nonzero diagonals.
 
     rot(v, s) here is the slot rotation (i -> v[(i+s) mod n]), matching
@@ -89,7 +89,8 @@ def apply_diagonals(ev: Evaluator, encoder: Encoder, ct: Ciphertext,
         for d in ds:
             # pre-rotate the diagonal by -gi so the giant rotation fixes it
             vec = np.roll(diags[d], gi)
-            pt = _encode_pt(ev, encoder, vec, scale, ct.n_q)
+            pt = _encode_pt(ev, encoder, vec, scale, ct.n_q) \
+                if pt_source is None else pt_source(vec, scale, ct.n_q)
             term = ev.multiply_plain(rot[d % g], pt)
             part = term if part is None else \
                 Ciphertext(ma.add_mod(part.data, term.data,

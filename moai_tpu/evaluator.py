@@ -417,9 +417,19 @@ class Evaluator:
 
     def _stacked_galois(self, elts: tuple[int, ...]):
         """Stack perms and keys for a tuple of galois elements (cached
-        eagerly — never cache values produced under an active trace)."""
+        eagerly — never cache values produced under an active trace).
+        When key data are jit ARGUMENTS (tracers — the keys-as-data path
+        that keeps large tensors out of the compiled HLO body), the key
+        stack is rebuilt per trace and only the perms are cached."""
         key = ("stack", elts)
-        if key not in self._perm_cache:
+        traced = isinstance(self.galois_keys.keys[elts[0]].data,
+                            jax.core.Tracer)
+        if key not in self._perm_cache or traced:
+            if traced:
+                perms = jnp.stack([self._perm(g) for g in elts])
+                keys = jnp.stack([self.galois_keys.keys[g].data
+                                  for g in elts])
+                return perms, keys
             with jax.ensure_compile_time_eval():
                 perms = jnp.stack([self._perm(g) for g in elts])
                 keys = jnp.stack([self.galois_keys.keys[g].data for g in elts])

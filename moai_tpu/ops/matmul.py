@@ -100,18 +100,33 @@ class CPMM:
         self.encoder = encoder
         self.bias_mask = mask
 
-    def __call__(self, x: Ciphertext, rescale: bool = True) -> Ciphertext:
-        """x: Ciphertext with leading batch axis J.  Output batch axis I."""
+    def params(self) -> dict:
+        """The large tensors as a pytree, for passing through jit as
+        ARGUMENTS instead of baked HLO constants (keeps weight digits and
+        mask plaintexts on the data plane — required for remote-compile
+        endpoints with bounded request bodies, and shrinks cache keys)."""
+        p = {"w": self.w_digits}
+        if self.mask_pt is not None:
+            p["mask"] = self.mask_pt.data
+        return p
+
+    def __call__(self, x: Ciphertext, rescale: bool = True,
+                 params: dict | None = None) -> Ciphertext:
+        """x: Ciphertext with leading batch axis J.  Output batch axis I.
+        ``params``: optional pytree from :meth:`params` (traced args)."""
         ev = self.ev
         assert x.n_q == self.n_q, (x.n_q, self.n_q)
         dv = ev.dev
+        w_digits = self.w_digits if params is None else params["w"]
         # [J, P, L, N] -> [I, P, L, N]
-        out = mod_matmul(x.data, self.w_digits, self.bucket_mul,
+        out = mod_matmul(x.data, w_digits, self.bucket_mul,
                          self.bucket_off, dv["q"][:self.n_q],
                          dv["qneg_inv"][:self.n_q])
         ct = Ciphertext(out, x.scale * self.w_scale, True)
         if self.mask_pt is not None:
-            ct = ev.multiply_plain(ct, self.mask_pt)
+            mask_pt = self.mask_pt if params is None else \
+                Plaintext(params["mask"], self.mask_pt.scale)
+            ct = ev.multiply_plain(ct, mask_pt)
         if rescale:
             ct = ev.rescale(ev.rescale(ct))
             if self.bias is not None:

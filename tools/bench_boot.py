@@ -66,16 +66,33 @@ def main():
     v = rng.uniform(-0.8, 0.8, (args.batch, ctx.cfg.slots))
     ct = encryptor.encrypt(encryptor.encode(v, n_q=ctx.n_q0))
 
-    fn = jax.jit(lambda d: bt(
-        type(ct)(d, ct.scale, True)).data)
+    # keys + LT plaintexts as jit ARGUMENTS (not HLO constants): ~100s of
+    # MB stay on the data plane instead of the compile request
+    from moai_tpu.keys import KSwitchKey, GaloisKeys
+    from moai_tpu.ciphertext import Ciphertext
+    lt = bt.collect_lt(ct_scale=ct.scale, n_polys=2)
+    perms = ev.galois_keys.perms
+    gal_data = {g: k.data for g, k in ev.galois_keys.keys.items()}
+    relin_data = ev.relin_key.data
+
+    def step(ct_data, lt_, gal_, relin_):
+        ev.relin_key = KSwitchKey(relin_)
+        ev.galois_keys = GaloisKeys(
+            {g: KSwitchKey(d) for g, d in gal_.items()}, perms)
+        return bt(Ciphertext(ct_data, ct.scale, True), lt=lt_).data
+
+    fn = jax.jit(step)
     t0 = time.perf_counter()
-    out_d = fn(ct.data)
+    out_d = fn(ct.data, lt, gal_data, relin_data)
     out_d.block_until_ready()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out_d = fn(ct.data)
+    out_d = fn(ct.data, lt, gal_data, relin_data)
     out_d.block_until_ready()
     run_s = time.perf_counter() - t0
+    ev.relin_key = KSwitchKey(relin_data)
+    ev.galois_keys = GaloisKeys(
+        {g: KSwitchKey(d) for g, d in gal_data.items()}, perms)
 
     out = type(ct)(out_d, ctx.scale, True)
     got = decryptor.decrypt(out)

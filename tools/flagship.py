@@ -138,21 +138,25 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     W = lambda *s: rng.normal(0, 0.05, s)
 
     # ---- QKV CPMM (reference level 15->14; V computed at 4->3) ----------
+    # biases via per-column residues (add_const_vec); weight digit planes
+    # travel as jit arguments (CPMM.params)
     n_att = lv(15)
     x = enc_at(dims.d_model, n_att)
     q_mm = CPMM(ev, enc, W(dims.d_model, H * hd) / np.sqrt(hd), n_att,
-                bias=W(H * hd), mask=mask)
-    k_mm = CPMM(ev, enc, W(dims.d_model, H * hd), n_att, bias=W(H * hd),
                 mask=mask)
-    v_mm = CPMM(ev, enc, W(dims.d_model, H * hd), lv(4), bias=W(H * hd),
-                mask=mask)
+    k_mm = CPMM(ev, enc, W(dims.d_model, H * hd), n_att, mask=mask)
+    v_mm = CPMM(ev, enc, W(dims.d_model, H * hd), lv(4), mask=mask)
+    bq, bk, bv = W(H * hd), W(H * hd), W(H * hd)
 
-    def f_qkv(xd):
+    def f_qkv(xd, qp, kp, vp):
         xc = Ciphertext(xd, scale, True)
-        return (q_mm(xc).data, k_mm(xc).data,
-                v_mm(ev.mod_drop_to(xc, lv(4))).data)
+        return (ev.add_const_vec(q_mm(xc, params=qp), bq).data,
+                ev.add_const_vec(k_mm(xc, params=kp), bk).data,
+                ev.add_const_vec(v_mm(ev.mod_drop_to(xc, lv(4)),
+                                      params=vp), bv).data)
 
-    stage("qkv_cpmm", f_qkv, (x.data,))
+    stage("qkv_cpmm", f_qkv,
+          (x.data, q_mm.params(), k_mm.params(), v_mm.params()))
     del x
 
     # ---- QK^T CCMM per head (14->13), all heads sequential --------------
@@ -252,10 +256,12 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
 
     # ---- self-output CPMM (2->1) ---------------------------------------
     att = enc_at(dims.d_model, lv(2))
-    o_mm = CPMM(ev, enc, W(dims.d_model, dims.d_model), lv(2),
-                bias=W(dims.d_model), mask=mask)
-    stage("self_output_cpmm", lambda d: o_mm(Ciphertext(d, scale, True)
-                                             ).data, (att.data,))
+    o_mm = CPMM(ev, enc, W(dims.d_model, dims.d_model), lv(2), mask=mask)
+    bo = W(dims.d_model)
+    stage("self_output_cpmm",
+          lambda d, op: ev.add_const_vec(
+              o_mm(Ciphertext(d, scale, True), params=op), bo).data,
+          (att.data, o_mm.params()))
     del att
 
     # ---- LayerNorm x2 (reference 21->1 each) ---------------------------
