@@ -29,7 +29,7 @@ RNG = np.random.default_rng(123)
 
 DIMS = BertDims(num_x=64, num_row=8, d_model=16, num_heads=2, head_dim=8,
                 d_inter=32)
-PLAN = DepthPlan(exp_r=5, inv_iters=5, ln_newton=2, ln_gold=0,
+PLAN = DepthPlan(exp_r=7, inv_iters=5, ln_newton=2, ln_gold=0,
                  gelu_degree=16)
 N_LAYERS = int(os.environ.get("MOAI_TEST_LAYERS", "12"))
 N_INPUTS = 2

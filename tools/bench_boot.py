@@ -66,33 +66,93 @@ def main():
     v = rng.uniform(-0.8, 0.8, (args.batch, ctx.cfg.slots))
     ct = encryptor.encrypt(encryptor.encode(v, n_q=ctx.n_q0))
 
-    # keys + LT plaintexts as jit ARGUMENTS (not HLO constants): ~100s of
-    # MB stay on the data plane instead of the compile request
+    # Stage-level jits with keys as ARGUMENTS: the whole-pipeline graph
+    # overwhelms remote compilers (and keys/plaintexts must stay out of
+    # the HLO body); each stage compiles small and the chain reproduces
+    # Bootstrapper._run exactly (same scale/level bookkeeping).
+    import numpy as _np
+    from moai_tpu import mod_arith as ma
     from moai_tpu.keys import KSwitchKey, GaloisKeys
     from moai_tpu.ciphertext import Ciphertext
-    lt = bt.collect_lt(ct_scale=ct.scale, n_polys=2)
+    from moai_tpu.boot.linear import apply_diagonals
     perms = ev.galois_keys.perms
     gal_data = {g: k.data for g, k in ev.galois_keys.keys.items()}
     relin_data = ev.relin_key.data
 
-    def step(ct_data, lt_, gal_, relin_):
+    def set_keys(gal_, relin_):
         ev.relin_key = KSwitchKey(relin_)
         ev.galois_keys = GaloisKeys(
             {g: KSwitchKey(d) for g, d in gal_.items()}, perms)
-        return bt(Ciphertext(ct_data, ct.scale, True), lt=lt_).data
 
-    fn = jax.jit(step)
+    def restore_keys():
+        set_keys(gal_data, relin_data)
+
+    def mk(f):
+        jf = jax.jit(f)
+
+        def call(c):
+            out = jf(c, gal_data, relin_data)
+            restore_keys()
+            return out
+        return call
+
+    j_modraise = mk(lambda c, g, r: (set_keys(g, r), bt.modraise(c))[1])
+    j_c2s = [mk(lambda c, g, r, lev=lev:
+                (set_keys(g, r), apply_diagonals(ev, enc, c, lev))[1])
+             for lev in bt.c2s_levels]
+
+    def f_split_mod(c, g, r):
+        set_keys(g, r)
+        tc = ev.conjugate(c)
+        qv = ev.dev["q"][:c.n_q].reshape(-1, 1)
+        t_r = c.with_data(ma.add_mod(c.data, tc.data, qv))
+        t_i = bt.mul_i(c.with_data(ma.sub_mod(tc.data, c.data, qv)))
+        y_r = bt.mr(ev, t_r, pre_scale=0.5)
+        y_i = bt.mr(ev, t_i, pre_scale=0.5)
+        return ev.add(y_r, bt.mul_i(y_i))
+
+    j_evalmod = mk(f_split_mod)
+
+    def mk_s2c(lev, alpha_fold):
+        def f(c, g, r):
+            set_keys(g, r)
+            use = {d: v * alpha_fold for d, v in lev.items()} \
+                if alpha_fold is not None else lev
+            return apply_diagonals(ev, enc, c, use)
+        return mk(f)
+
+    def pipeline(ct_in):
+        delta_in = ct_in.scale
+        z = j_modraise(ct_in)
+        for j in j_c2s:
+            z = j(z)
+        t = ev.with_scale(z, bt.q0 * z.scale / delta_in)
+        w = j_evalmod(t)
+        alpha = ctx.scale * bt.q0 / (2 * _np.pi * delta_in * w.scale)
+        outc = w
+        for i, jf in enumerate(j_s2c_build(alpha)):
+            outc = jf(outc)
+        return ev.with_scale(outc, ctx.scale)
+
+    _s2c_cache = {}
+
+    def j_s2c_build(alpha):
+        key = round(float(alpha), 12)
+        if key not in _s2c_cache:
+            _s2c_cache[key] = [
+                mk_s2c(lev, alpha if i == len(bt.s2c_levels) - 1 else None)
+                for i, lev in enumerate(bt.s2c_levels)]
+        return _s2c_cache[key]
+
     t0 = time.perf_counter()
-    out_d = fn(ct.data, lt, gal_data, relin_data)
-    out_d.block_until_ready()
+    outc = pipeline(ct)
+    outc.data.block_until_ready()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out_d = fn(ct.data, lt, gal_data, relin_data)
-    out_d.block_until_ready()
+    outc = pipeline(ct)
+    outc.data.block_until_ready()
     run_s = time.perf_counter() - t0
-    ev.relin_key = KSwitchKey(relin_data)
-    ev.galois_keys = GaloisKeys(
-        {g: KSwitchKey(d) for g, d in gal_data.items()}, perms)
+    out_d = outc.data
 
     out = type(ct)(out_d, ctx.scale, True)
     got = decryptor.decrypt(out)
