@@ -117,7 +117,22 @@ def test_bert_layer_real_bootstrap():
     bt = Bootstrapper(ev, enc, m_bound=M_BOUND)
     steps = sorted(set(bt.galois_steps()) | set(galois_steps_for_model(DIMS)))
     ev.galois_keys = kg.gen_galois_keys(steps=steps, conjugate=True)
-    refresh = make_refresh(bt, m_bound=M_BOUND)
+    _refresh = make_refresh(bt, m_bound=M_BOUND)
+
+    # probe every refresh (harness-side decrypt, the reference's debug-
+    # print analog): localizes any bootstrap divergence to the call site
+    probe_log = []
+
+    def refresh(ct, n_q):
+        v_in = float(np.abs(decryptor.decrypt(ct).real).max())
+        out = _refresh(ct, n_q)
+        v_out = float(np.abs(decryptor.decrypt(out).real).max())
+        probe_log.append((ct.n_q, n_q, v_in, v_out))
+        print(f"[probe] refresh #{len(probe_log)}: |in|={v_in:.3f} "
+              f"|out|={v_out:.3f} (n_q {ct.n_q}->{n_q})", flush=True)
+        assert v_out < 4 * max(1.0, v_in) + 1.0, \
+            (len(probe_log), v_in, v_out)
+        return out
 
     # the bootstrap must resurface above the deepest re-entry level
     boot_out = ctx.L - 2 * bt.levels

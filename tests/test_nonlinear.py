@@ -97,8 +97,11 @@ def test_layernorm(setup):
     d = C * xs - xs.sum(axis=0)
     S = (d ** 2).sum(axis=0)
     dom = (0.8 * S.min(), 1.05 * S.max())
+    # newton=2/gold=0 fits the 13-level fixture (full LN consumes
+    # 6 + 3*newton + 2*gold levels; gold_iters covered by
+    # test_invert_sqrt and the golden LayerNorm test)
     out = decryptor.decrypt(
-        layernorm(ev, ct, gamma, beta, dom, newton_iters=2, gold_iters=1)
+        layernorm(ev, ct, gamma, beta, dom, newton_iters=2, gold_iters=0)
     ).real
     mu = xs.mean(axis=0)
     sig = xs.std(axis=0)
@@ -138,6 +141,8 @@ def test_softmax_diag(setup):
             k = np.arange(L)
             col = (k + d) % NUM_ROW
             ok = col < L
+            if not ok.any():      # short inputs: some diagonals are
+                continue          # entirely outside the valid block
             want = sm[k[ok], col[ok]]
             gotv = got[d, NUM_X * k[ok] + j]
             assert np.max(np.abs(gotv - want)) < 2e-2, (j, d)
