@@ -247,7 +247,8 @@ class Bootstrapper:
         # (coefficients arrive bit-reversed in the factored path; EvalMod
         # is pointwise and SlotToCoeff consumes the same order, so the
         # permutation cancels)
-        t = ev.with_scale(z, self.q0 * z.scale / delta_in)
+        t = ev.with_scale(z, self.q0 * z.scale / delta_in,
+                          reason="ModRaise: slots hold m*Delta/q0 + I")
         tc = ev.conjugate(t)
         q = ev.dev["q"][:t.n_q].reshape(-1, 1)
         t_r = t.with_data(ma.add_mod(t.data, tc.data, q))     # 2*Re(t)
@@ -264,7 +265,8 @@ class Bootstrapper:
             if i == len(self.s2c_levels) - 1:
                 lev = {d: v * alpha for d, v in lev.items()}
             out = apply_diagonals(ev, enc, out, lev, pt_source=src)
-        out = ev.with_scale(out, ctx.scale)
+        out = ev.with_scale(out, ctx.scale,
+                            reason="SlotToCoeff folded alpha into last LT")
         if self.n_out is not None and out.n_q > self.n_out:
             out = ev.mod_drop_to(out, self.n_out)
         return out
@@ -283,9 +285,11 @@ def make_refresh(bt: Bootstrapper, m_bound: float = 1.0):
 
     def refresh(ct, n_q):
         x = ev.mod_drop_to(ct, bt.ctx.n_q0)
-        x = ev.with_scale(x, x.scale * m_bound)
+        x = ev.with_scale(x, x.scale * m_bound,
+                          reason="refresh: normalize |m| <= 1 for EvalMod")
         out = bt(x)
-        out = ev.with_scale(out, out.scale / m_bound)
+        out = ev.with_scale(out, out.scale / m_bound,
+                            reason="refresh: undo m_bound normalization")
         if out.n_q > n_q:
             out = ev.mod_drop_to(out, n_q)
         return out

@@ -71,13 +71,19 @@ class Evaluator:
     # -- additive ops -----------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         assert a.n_q == b.n_q, (a.n_q, b.n_q)
-        assert _close(a.scale, b.scale), (a.scale, b.scale)
+        assert _close(a.scale, b.scale), (
+            f"add: scales {a.scale:.6g} vs {b.scale:.6g} drift beyond the "
+            f"composite-pair tolerance — reconcile with Evaluator.match_scale "
+            f"(or land terms exactly via mul_const_to)")
         assert a.is_ntt and b.is_ntt
         return Ciphertext(ma.add_mod(a.data, b.data, self._q(a.n_q)),
                           a.scale, a.is_ntt)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        assert a.n_q == b.n_q and _close(a.scale, b.scale)
+        assert a.n_q == b.n_q
+        assert _close(a.scale, b.scale), (
+            f"sub: scales {a.scale:.6g} vs {b.scale:.6g} drift beyond the "
+            f"composite-pair tolerance — reconcile with Evaluator.match_scale")
         return Ciphertext(ma.sub_mod(a.data, b.data, self._q(a.n_q)),
                           a.scale, a.is_ntt)
 
@@ -287,10 +293,13 @@ class Evaluator:
         y_p = ntt(y[..., n_q:, :], self.tbd, limb_slice=(L, nall))
         return jnp.concatenate([y_q, y_p], axis=-2)     # [..., D, n_t, N]
 
-    def _key_rows(self, key_data, n_q: int):
-        """key [..., dnum, 2, L+K, N] -> rows for targets Q_l + P, active
-        digits only: [..., D, 2, n_t, N]."""
-        L = self.ctx.L
+    def _key_rows(self, key_data, n_q: int, q_limbs: int | None = None):
+        """key [..., dnum, 2, q_limbs+K, N] -> rows for targets Q_l + P,
+        active digits only: [..., D, 2, n_t, N].  ``q_limbs``: Q limbs
+        present in the key tensor (sliced keys, keys.slice_kswitch);
+        default = the context's full L."""
+        L = q_limbs if q_limbs is not None else self.ctx.L
+        assert n_q <= L, (n_q, L)
         D = self._active_digits(n_q)
         kd = key_data[..., :D, :, :, :]
         return jnp.concatenate([kd[..., :n_q, :], kd[..., L:, :]], axis=-2)
@@ -318,7 +327,8 @@ class Evaluator:
         """Hybrid key switch (SEAL switch_key_inplace, evaluator.cpp:2724,
         redesigned): decompose + extend + NTT once, MAC, mod-down by P."""
         y = self._ks_decompose(poly_ntt, n_q)
-        return self._ks_mac_moddown(y, self._key_rows(key.data, n_q), n_q)
+        return self._ks_mac_moddown(
+            y, self._key_rows(key.data, n_q, key.q_limbs), n_q)
 
     def _mod_down_p(self, u, n_q: int):
         """Divide a [..., n_q+K, N] NTT poly by P, dropping the P limbs."""
@@ -463,7 +473,8 @@ class Evaluator:
             # digits of sigma_g(c1) = sigma_g(digits of c1): gather last axis
             y_r = jnp.take(y, p, axis=-1)                   # [..., D, n_t, R, N]
             y_r = jnp.moveaxis(y_r, -2, 0)                  # [R, ..., D, n_t, N]
-            kr = self._key_rows(k, n_q)                     # [R, D, 2, n_t, N]
+            kr = self._key_rows(k, n_q, self.galois_keys.q_limbs)
+            #                                               # [R, D, 2, n_t, N]
             if a.data.ndim > 3:                             # broadcast batch
                 kr = kr.reshape((kr.shape[0],) + (1,) * (a.data.ndim - 3)
                                 + kr.shape[1:])
@@ -475,10 +486,6 @@ class Evaluator:
         return self._dbg("rotate_hoisted", Ciphertext(
             jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0],
             a.scale, True))
-
-    def relinearize_batched(self, a: Ciphertext) -> Ciphertext:
-        """Alias of relinearize — already batched over leading axes."""
-        return self.relinearize(a)
 
     # -- integer & per-column constant helpers -----------------------------
     def mul_int(self, a: Ciphertext, n: int) -> Ciphertext:
@@ -567,7 +574,17 @@ class Evaluator:
         return self.rescale_pair(self.relinearize(self.square(a)))
 
     # -- scale management -------------------------------------------------
-    def with_scale(self, a: Ciphertext, scale: float) -> Ciphertext:
-        """Explicit scale override (the reference's ``x.scale() = s`` resets,
-        e.g. Ct_pt_matrix_mul.hpp:41 — made explicit and greppable here)."""
+    def with_scale(self, a: Ciphertext, scale: float, *,
+                   reason: str) -> Ciphertext:
+        """Explicit scale REINTERPRETATION — the only legitimate uses are
+        points where the modulus itself changes meaning (bootstrap ModRaise
+        multiplies the message by Q/q0; SlotToCoeff folds the final scale
+        into its last LT level).  ``reason`` is mandatory so every call site
+        documents why a raw override is sound there; for ordinary scale
+        reconciliation before add/sub use :meth:`match_scale`, which spends
+        a level instead of silently re-labelling the data.  (The reference's
+        unchecked ``x.scale() = s`` resets, e.g. Ct_pt_matrix_mul.hpp:41,
+        softmax.hpp:465, are the bug surface this guards.)"""
+        assert reason and isinstance(reason, str), \
+            "with_scale requires a justification string"
         return Ciphertext(a.data, float(scale), a.is_ntt)

@@ -62,13 +62,45 @@ class PublicKey:
 
 @dataclasses.dataclass
 class KSwitchKey:
-    data: jax.Array           # [dnum, 2, L+K, N] NTT Montgomery
+    data: jax.Array           # [dnum, 2, q_limbs+K, N] NTT Montgomery
+    # Q limbs present in ``data`` (None = the context's full L).  A key
+    # modulo a PREFIX of the chain is still a valid switching key — ops at
+    # level n_q only read limbs [0:n_q] + the special limbs, so keys can be
+    # sliced to a stage's working level to bound HBM (see slice_kswitch).
+    q_limbs: int | None = None
 
 
 @dataclasses.dataclass
 class GaloisKeys:
     keys: dict                # galois element -> KSwitchKey
     perms: dict               # galois element -> np [N] NTT-domain gather index
+
+    @property
+    def q_limbs(self) -> int | None:
+        for k in self.keys.values():
+            return k.q_limbs
+        return None
+
+
+def slice_kswitch(key: KSwitchKey, n_q: int, L: int) -> KSwitchKey:
+    """Restrict a switching key to Q limbs [0:n_q] (+ all special limbs).
+    Valid because RLWE relations hold mod any prefix product of the chain;
+    used to keep per-stage key residency proportional to the stage level."""
+    cur = key.q_limbs if key.q_limbs is not None else L
+    if n_q >= cur:
+        return key
+    d = key.data
+    import jax.numpy as _jnp
+    mod = _jnp if isinstance(d, jax.Array) else np
+    return KSwitchKey(
+        mod.concatenate([d[..., :n_q, :], d[..., cur:, :]], axis=-2),
+        q_limbs=n_q)
+
+
+def slice_galois(gks: GaloisKeys, n_q: int, L: int) -> GaloisKeys:
+    return GaloisKeys(
+        {g: slice_kswitch(k, n_q, L) for g, k in gks.keys.items()},
+        gks.perms)
 
 
 def power_of_two_steps(n_slots: int) -> list[int]:

@@ -92,20 +92,22 @@ def mod_matmul(x, w_digits, bucket_mul, bucket_off, q, qneg):
     q4 = q.reshape(-1, 1)
     qneg4 = qneg.reshape(-1, 1)
     nb = 2 * NDIG - 1
-    buckets = [None] * nb
-    for dx in range(NDIG):
-        for dw in range(NDIG):
-            # contraction over j with per-limb batch: 'jpln,lji->ipln'
-            part = jnp.einsum(
-                "...jpln,lji->...ipln", xd[dx], w_digits[dw],
-                preferred_element_type=jnp.int32)
-            k = dx + dw
-            buckets[k] = part if buckets[k] is None else buckets[k] + part
     acc = None
     off = bucket_off.reshape(-1, 1)
+    # bucket-outer loop: exactly ONE [I, P, L, N] int32 bucket is live at a
+    # time (a bucket is folded into the uint32 accumulator before the next
+    # one is built) — bounds peak HBM at d_model=768 x 32-limb scale
     for k in range(nb):
+        part = None
+        for dx in range(max(0, k - NDIG + 1), min(NDIG, k + 1)):
+            dw = k - dx
+            # contraction over j with per-limb batch: 'jpln,lji->ipln'
+            term = jnp.einsum(
+                "...jpln,lji->...ipln", xd[dx], w_digits[dw],
+                preferred_element_type=jnp.int32)
+            part = term if part is None else part + term
         # shift into non-negative uint32 (bucket_off is a multiple of q)
-        u = (buckets[k].astype(jnp.uint32) + off)
-        term = ma.mont_mul(u, bucket_mul[k].reshape(-1, 1), q4, qneg4)
-        acc = term if acc is None else ma.add_mod(acc, term, q4)
+        u = (part.astype(jnp.uint32) + off)
+        fold = ma.mont_mul(u, bucket_mul[k].reshape(-1, 1), q4, qneg4)
+        acc = fold if acc is None else ma.add_mod(acc, fold, q4)
     return acc

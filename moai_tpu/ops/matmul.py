@@ -34,10 +34,24 @@ from ..modmat import mod_matmul, host_weight_digits, host_bucket_consts
 from ..ntt import ntt
 
 
+def _bsgs_split(m: int) -> tuple[int, int]:
+    g = int(np.ceil(np.sqrt(m)))
+    return g, int(np.ceil(m / g))
+
+
 def ccmm_col_steps(num_x: int, num_row: int) -> list[int]:
     """Rotation steps needed by ccmm_col_to_diag (galois key planning, the
-    reference does the same in test_full_scheme.hpp:436-443)."""
-    return [i * num_x for i in range(1, num_row)]
+    reference does the same in test_full_scheme.hpp:436-443).  Double-BSGS:
+    baby steps s*num_x (s < g), giant steps +-g*bi*num_x (bi < b) — ~3*sqrt
+    (num_row) keys instead of the reference's num_row-1."""
+    g, b = _bsgs_split(num_row)
+    steps = set()
+    for s in range(1, g):
+        steps.add(s * num_x)
+    for bi in range(1, b):
+        steps.add(g * bi * num_x)
+        steps.add(-g * bi * num_x)
+    return sorted(steps)
 
 
 def ccmm_diag_steps(num_x: int, num_row: int) -> list[int]:
@@ -153,35 +167,73 @@ class CPMM:
 
 def ccmm_col_to_diag(ev: Evaluator, x: Ciphertext, w: Ciphertext,
                      num_x: int, num_row: int,
-                     chunk: int | None = None) -> Ciphertext:
+                     col_chunk: int | None = None) -> Ciphertext:
     """Col-packed X [C cts] x col-packed W [C cts] -> diagonal-packed X W^T
     [num_row cts]: out[i] = sum_j X_j * rot(W_j, i*num_x)
     (reference: ct_ct_matrix_mul_colpacking, Ct_ct_matrix_mul.hpp:5-55).
 
-    TPU-native: ONE hoisted multi-rotation produces all num_row-1 rotated
-    copies of the whole W batch (the reference pays a full key-switch per
-    (diagonal, column)); the dyadic products reduce over the column axis and
-    a single batched relinearization finishes all diagonals.
+    TPU-native DOUBLE-BSGS (the reference pays a full key-switch per
+    (diagonal, column); hoisting alone still pays num_row MACs per column).
+    With i = s + g*bi and rot a ring automorphism:
+
+        out[s+g*bi] = rot( sum_j rot(X_j, -g*bi*num_x) * rot(W_j, s*num_x),
+                           g*bi*num_x )
+
+    so the whole matmul needs ONE hoisted sweep of g-1 baby rotations of W,
+    ONE hoisted sweep of b-1 giant rotations of X (both over the C-column
+    batch), the cheap dyadic products, one batched relinearization of all
+    diagonals, and b-1 giant output rotations of g-diagonal groups:
+    ~2*sqrt(num_row) batched key-switch MACs total instead of num_row.
+
+    ``col_chunk``: process the column axis in chunks of this size (bounds
+    the [g+b, C, 2, L, N] rotated-operand residency — needed at d=768-scale
+    on a 16 GB chip); product partial sums accumulate across chunks.
     """
     assert x.n_q == w.n_q, \
         f"ccmm_col_to_diag level mismatch: X at n_q={x.n_q}, W at n_q={w.n_q}"
+    m = num_row
+    C = x.data.shape[0]
+    g, b = _bsgs_split(m)
     q = ev.dev["q"][:x.n_q].reshape(-1, 1)
     qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
-    rot_w = ev.rotate_hoisted(w, [i * num_x for i in range(1, num_row)],
-                              chunk=chunk)
-    w_all = jnp.concatenate([w.data[None], rot_w.data])    # [R, C, 2, L, N]
-    x0 = x.data[None, :, 0, :, :]
-    x1 = x.data[None, :, 1, :, :]
-    w0 = w_all[..., 0, :, :]
-    w1 = w_all[..., 1, :, :]
-    c0 = ma.mont_mul(x0, w0, q, qneg)
-    c1 = ma.add_mod(ma.mont_mul(x0, w1, q, qneg),
-                    ma.mont_mul(x1, w0, q, qneg), q)
-    c2 = ma.mont_mul(x1, w1, q, qneg)
-    prod = jnp.stack([c0, c1, c2], axis=-3)                # [R, C, 3, L, N]
-    summed = _sum_axis(prod, 1, q)                         # [R, 3, L, N]
-    ct3 = Ciphertext(summed, x.scale * w.scale, True)
-    return ev.rescale(ev.rescale(ev.relinearize(ct3)))
+    if col_chunk is None:
+        col_chunk = C
+    acc = None                      # [b, g, 3, L, N] group partial products
+    for lo in range(0, C, col_chunk):
+        hi = min(lo + col_chunk, C)
+        xc = x.with_data(x.data[lo:hi])
+        wc = w.with_data(w.data[lo:hi])
+        wb_rot = ev.rotate_hoisted(wc, [s * num_x for s in range(1, g)]) \
+            if g > 1 else None
+        wb = jnp.concatenate([wc.data[None], wb_rot.data]) \
+            if wb_rot is not None else wc.data[None]       # [g, c, 2, L, N]
+        xg_rot = ev.rotate_hoisted(xc, [-gi * g * num_x
+                                        for gi in range(1, b)]) \
+            if b > 1 else None
+        xg = jnp.concatenate([xc.data[None], xg_rot.data]) \
+            if xg_rot is not None else xc.data[None]       # [b, c, 2, L, N]
+        x0 = xg[:, None, :, 0, :, :]                       # [b, 1, c, L, N]
+        x1 = xg[:, None, :, 1, :, :]
+        w0 = wb[None, :, :, 0, :, :]                       # [1, g, c, L, N]
+        w1 = wb[None, :, :, 1, :, :]
+        c0 = ma.mont_mul(x0, w0, q, qneg)
+        c1 = ma.add_mod(ma.mont_mul(x0, w1, q, qneg),
+                        ma.mont_mul(x1, w0, q, qneg), q)
+        c2 = ma.mont_mul(x1, w1, q, qneg)
+        prod = jnp.stack([c0, c1, c2], axis=-3)            # [b, g, c, 3, L, N]
+        part = _sum_axis(prod, 2, q)                       # [b, g, 3, L, N]
+        acc = part if acc is None else ma.add_mod(acc, part, q)
+    rel = ev.relinearize(Ciphertext(acc, x.scale * w.scale, True))
+    diags = [None] * m
+    for bi in range(b):
+        ng = min(g, m - bi * g)
+        grp = Ciphertext(rel.data[bi, :ng], rel.scale, True)
+        if bi:
+            grp = ev.rotate(grp, g * bi * num_x)           # giant output rot
+        for s in range(ng):
+            diags[bi * g + s] = grp.data[s]
+    out = Ciphertext(jnp.stack(diags), rel.scale, True)
+    return ev.rescale(ev.rescale(out))
 
 
 def _sum_axis(data, axis, q):

@@ -87,6 +87,57 @@ def fit_rsqrt_line(lo: float, hi: float) -> tuple[float, float]:
     return float(a), float(b)
 
 
+def fit_rsqrt_cheb(lo: float, hi: float, degree: int = 7,
+                   lawson_iters: int = 60) -> np.ndarray:
+    """Host: RELATIVE-minimax (Lawson-weighted) Chebyshev fit of 1/sqrt(u)
+    on [lo, hi], coefficients in t = (2u - hi - lo)/(hi - lo).  Relative
+    weighting keeps the init within (0, sqrt(3))x the true value over
+    arbitrarily wide domains — the absolute-error linear init (the
+    reference's initGuess, layernorm.hpp:18-24) diverges under Newton when
+    hi/lo > ~20, which real BERT layer-10/11 variance data exceeds."""
+    k = np.arange(8192)
+    t = np.cos(np.pi * (k + 0.5) / len(k))
+    u = (t + 1) / 2 * (hi - lo) + lo
+    f = 1.0 / np.sqrt(u)
+    V = np.polynomial.chebyshev.chebvander(t, degree)
+    w = np.ones_like(u)
+    c = None
+    for _ in range(lawson_iters):
+        sw = np.sqrt(w)
+        c, *_ = np.linalg.lstsq(V * sw[:, None], f * sw, rcond=None)
+        err = np.abs(V @ c - f) / f
+        w = w * (1e-12 + err)
+        w /= w.sum()
+    return c
+
+
+def invert_sqrt_cheb(ev: Evaluator, x: Ciphertext,
+                     domain: tuple[float, float], degree: int = 7,
+                     newton_iters: int = 2, _cache: dict = {}) -> Ciphertext:
+    """1/sqrt(x) on [lo, hi] via a degree-``degree`` relative-minimax
+    Chebyshev init + Newton.  Robust on wide domains (hi/lo up to ~100:
+    deg-7 init is within 5% everywhere, 2 Newton steps land ~2e-5 —
+    measured on real BERT layer-11 variance spread).  Levels:
+    1 (affine) + cheb depth + 3*newton."""
+    from ..boot.evalmod import cheb_eval_bsgs
+    lo, hi = domain
+    key = (round(lo, 14), round(hi, 14), degree)
+    if key not in _cache:
+        _cache[key] = fit_rsqrt_cheb(lo, hi, degree)
+    s = x.scale
+    t = ev.add_const(ev.rescale_pair(ev.mul_const_to(x, 2.0 / (hi - lo), s)),
+                     -(hi + lo) / (hi - lo))
+    y = cheb_eval_bsgs(ev, t, _cache[key])
+    if newton_iters:
+        xh = ev.rescale_pair(ev.mul_const_to(x, -0.5, s))   # -x/2
+        xh, y = ev.align(xh, y)
+        for _ in range(newton_iters):
+            y2 = ev.square_rescale(y)
+            tt = ev.add_const(ev.mul_relin_rescale(xh, y2), 1.5)
+            y = ev.mul_relin_rescale(y, tt)
+    return y
+
+
 def invert_sqrt(ev: Evaluator, x: Ciphertext, domain: tuple[float, float],
                 newton_iters: int = 4, gold_iters: int = 2) -> Ciphertext:
     """1/sqrt(x) on [lo, hi]: linear init + Newton y(1.5 - 0.5 x y^2) +
@@ -272,7 +323,9 @@ def _sum_leading(data, q):
 
 def layernorm(ev: Evaluator, x: Ciphertext, gamma: np.ndarray,
               beta: np.ndarray, var_domain: tuple[float, float],
-              newton_iters: int = 4, gold_iters: int = 2) -> Ciphertext:
+              newton_iters: int = 4, gold_iters: int = 2,
+              col_chunk: int | None = None,
+              rsqrt: str = "newton") -> Ciphertext:
     """Per-slot (= per token) LayerNorm over the leading column axis C:
         y_j = gamma_j * (x_j - mu)/sigma + beta_j.
 
@@ -288,23 +341,55 @@ def layernorm(ev: Evaluator, x: Ciphertext, gamma: np.ndarray,
     """
     C = x.data.shape[0]
     q = ev.dev["q"][:x.n_q].reshape(-1, 1)
-    u = _sum_leading(x.data, q)                            # [P, L, N]
-    nx = ev.mul_int(x, C)
-    d = x.with_data(ma.sub_mod(nx.data, u[None], q))       # C x_j - u
-    s2 = ev.square_rescale(d)                              # batched squares
-    S = Ciphertext(_sum_leading(s2.data, ev.dev["q"][:s2.n_q].reshape(-1, 1)),
-                   s2.scale, True)
-    lo, hi = var_domain
-    c = 1.0 / hi                                           # S*c in (lo/hi, 1]
+    cc = col_chunk if col_chunk else C
+
+    def d_cols(lo, hi):
+        """chunk of C*x_j - u (no level: integer doubling + free sums)."""
+        nx = ev.mul_int(x.with_data(x.data[lo:hi]), C)
+        return x.with_data(ma.sub_mod(nx.data, u[None], q))
+
+    u = None
+    for lo in range(0, C, cc):                             # pass 1: sum x
+        s = _sum_leading(x.data[lo:lo + cc], q)
+        u = s if u is None else ma.add_mod(u, s, q)
+    # pass 2: S = sum_j (C x_j - u)^2.  The 3-poly squares are summed over
+    # the column axis BEFORE relinearizing, so the whole variance costs ONE
+    # key-switch (the reference relinearizes per blocked product,
+    # layernorm.hpp:240-266); chunking bounds residency at d_model=768.
+    S3 = None
+    for lo in range(0, C, cc):
+        sq = ev.square(d_cols(lo, min(lo + cc, C)))        # [c, 3, L, N]
+        s = _sum_leading(sq.data, q)
+        S3 = s if S3 is None else ma.add_mod(S3, s, q)
+    S = ev.rescale_pair(ev.relinearize(
+        Ciphertext(S3, x.scale * x.scale, True)))
+    lo_d, hi_d = var_domain
+    c = 1.0 / hi_d                                         # S*c in (lo/hi, 1]
     Sn = ev.rescale_pair(ev.mul_const_to(S, c, S.scale))
-    rs = invert_sqrt(ev, Sn, (lo / hi, 1.0), newton_iters, gold_iters)
-    # y_j = d_j * rs * (gamma_j * sqrt(C) * sqrt(c)) + beta_j
-    dn, rsn = ev.align(d, rs)
-    prod = ev.mul_relin_rescale(dn, rs.with_data(
-        jnp.broadcast_to(rsn.data[None], dn.data.shape)))
+    # rsqrt="cheb": relative-minimax Chebyshev init (invert_sqrt_cheb) —
+    # required when hi/lo > ~20 (real BERT layers 10-11), where the linear
+    # init diverges under Newton
+    rs = invert_sqrt_cheb(ev, Sn, (lo_d / hi_d, 1.0),
+                          newton_iters=newton_iters) if rsqrt == "cheb" \
+        else invert_sqrt(ev, Sn, (lo_d / hi_d, 1.0), newton_iters,
+                         gold_iters)
+    # pass 3: y_j = d_j * rs * (gamma_j * sqrt(C) * sqrt(c)) + beta_j
     gscale = np.asarray(gamma, np.float64) * np.sqrt(C) * np.sqrt(c)
-    out = ev.rescale_pair(ev.mul_const_vec(prod, gscale, prod.scale))
-    return ev.add_const_vec(out, np.asarray(beta, np.float64))
+    beta = np.asarray(beta, np.float64)
+    outs = []
+    out_scale = None
+    for lo in range(0, C, cc):
+        hi = min(lo + cc, C)
+        dn, rsn = ev.align(d_cols(lo, hi), rs)
+        prod = ev.mul_relin_rescale(dn, rsn.with_data(
+            jnp.broadcast_to(rsn.data[None], dn.data.shape)))
+        o = ev.rescale_pair(ev.mul_const_vec(prod, gscale[lo:hi],
+                                             prod.scale))
+        o = ev.add_const_vec(o, beta[lo:hi])
+        outs.append(o.data)
+        out_scale = (o.scale, o.is_ntt)
+    data = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return Ciphertext(data, out_scale[0], out_scale[1])
 
 
 # --------------------------------------------------------------------------
@@ -327,12 +412,27 @@ def diag_valid_masks(input_lens, num_x: int, num_row: int, slots: int
     return masks
 
 
+def softmax_pts(ev: Evaluator, encoder: Encoder, masks: np.ndarray,
+                max_val: float, in_scale: float, n_q: int, exp_r: int = 7,
+                sum_scale: float | None = None):
+    """Pre-encode softmax_diag's two slot-vector plaintexts (-max*masks and
+    masks/sum_scale) so they can travel as jit ARGUMENTS instead of being
+    baked into the HLO body (pass as ``pts=``)."""
+    if sum_scale is None:
+        sum_scale = float(masks.shape[0])
+    neg_max = encode_plain(ev, encoder, -max_val * masks, in_scale, n_q)
+    n_e = n_q - 2 * exp_r - 2                 # level of exp output
+    pair = ev.level_pair_scale(n_e)
+    mask_pt = encode_plain(ev, encoder, masks / sum_scale, pair, n_e)
+    return neg_max, mask_pt
+
+
 def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
                  masks: np.ndarray, max_val: float,
                  refresh: Callable[[Ciphertext], Ciphertext],
                  sum_scale: float | None = None, inv_iters: int = 16,
                  eps: float = 1e-5, out_n_q: int | None = None,
-                 exp_r: int = 7) -> Ciphertext:
+                 exp_r: int = 7, pts=None) -> Ciphertext:
     """Softmax over num_row diagonal-packed score ciphertexts (leading axis).
 
     Pipeline (reference: softmax_boot, softmax.hpp:308-580):
@@ -346,11 +446,13 @@ def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
     R = masks.shape[0]
     if sum_scale is None:
         sum_scale = float(R)
-    neg_max = encode_plain(ev, encoder, -max_val * masks, x.scale, x.n_q)
+    if pts is None:
+        pts = softmax_pts(ev, encoder, masks, max_val, x.scale, x.n_q,
+                          exp_r=exp_r, sum_scale=sum_scale)
+    neg_max, mask_pt = pts
     x1 = ev.add_plain(x, neg_max)
     e = exp_taylor(ev, x1, r=exp_r)
-    pair = ev.level_pair_scale(e.n_q)
-    mask_pt = encode_plain(ev, encoder, masks / sum_scale, pair, e.n_q)
+    assert mask_pt.n_q == e.n_q, (mask_pt.n_q, e.n_q)
     e = ev.rescale_pair(ev.multiply_plain(e, mask_pt))
     s = Ciphertext(_sum_leading(e.data, ev.dev["q"][:e.n_q].reshape(-1, 1)),
                    e.scale, True)

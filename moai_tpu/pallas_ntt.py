@@ -213,23 +213,16 @@ def _fwd_kernel(x_ref, w1_ref, w2_ref, psi_ref, mid_ref, fm_ref, fo_ref,
     nb = 2 * NDIG - 1
     fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
     fo = [fo_ref[0, 0, k] for k in range(nb)]
-    if bt == 1:
-        # 2D path (Mosaic-friendly: no 3D transposes)
-        x = x_ref[0, 0]                                        # [n1, n2]
+    # bt batch rows per grid cell, each processed as a 2D tile (Mosaic has
+    # no 3D transpose; looping 2D slices keeps the MXU fed and amortizes
+    # the per-cell weight-tile residency)
+    for b in range(bt):
+        x = x_ref[b, 0]                                        # [n1, n2]
         x = _k_mont_mul(x, psi_ref[0], q, qneg)
         a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, qneg, fm, fo, 0)
         a = _k_mont_mul(a, mid_ref[0], q, qneg)
         y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, qneg, fm, fo, 1)
-        out_ref[0, 0] = y                                      # [n2, n1]
-        return
-    x = x_ref[:, 0]                                # [bt, n1, n2]
-    x = _k_mont_mul(x, psi_ref[0][None], q, qneg)  # psi twist
-    # axis-1 DFT: contract j1 -> [n1, bt, n2]
-    a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, qneg, fm, fo, cdim=1)
-    a = _k_mont_mul(a, mid_ref[0][:, None, :], q, qneg)   # mid twiddle
-    # axis-2 DFT: contract j2 -> [n2, n1, bt]
-    y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, qneg, fm, fo, cdim=2)
-    out_ref[:, 0] = jnp.transpose(y, (2, 0, 1))    # [bt, n2, n1]
+        out_ref[b, 0] = y                                      # [n2, n1]
 
 
 def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, psiinv_ref, fm_ref,
@@ -239,41 +232,37 @@ def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, psiinv_ref, fm_ref,
     nb = 2 * NDIG - 1
     fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
     fo = [fo_ref[0, 0, k] for k in range(nb)]
-    if bt == 1:
-        y = x_ref[0, 0]                                        # [n2, n1]
-        b = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, 0)
-        b = _k_mont_mul(b, midinv_ref[0], q, qneg)
-        x = _k_mod_matmul(w1i_ref[0], _k_digits(b), q, qneg, fm, fo, 1)
+    for b in range(bt):
+        y = x_ref[b, 0]                                        # [n2, n1]
+        t = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, 0)
+        t = _k_mont_mul(t, midinv_ref[0], q, qneg)
+        x = _k_mod_matmul(w1i_ref[0], _k_digits(t), q, qneg, fm, fo, 1)
         x = _k_mont_mul(x, psiinv_ref[0], q, qneg)
-        out_ref[0, 0] = x                                      # [n1, n2]
-        return
-    y = x_ref[:, 0]                                # [bt, n2, n1]
-    # inverse axis-2 DFT: contract k2 -> [n2(j2), bt, n1]
-    b = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, cdim=1)
-    b = _k_mont_mul(b, midinv_ref[0][:, None, :], q, qneg)
-    # inverse axis-1 DFT: contract k1 -> [n1(j1), n2, bt]
-    x = _k_mod_matmul(w1i_ref[0], _k_digits(b), q, qneg, fm, fo, cdim=2)
-    x = _k_mont_mul(x, psiinv_ref[0][:, :, None], q, qneg)  # untwist + 1/N
-    out_ref[:, 0] = jnp.transpose(x, (2, 0, 1))    # [bt, n1, n2]
+        out_ref[b, 0] = x                                      # [n1, n2]
 
 
 def _call(kernel, B, bt, Lact, lo, mat_shapes, in_tile, out_tile,
           interpret):
     """Build the pallas_call for x tiles [B, Lact, *in_tile] -> output
     tiles [B, Lact, *out_tile], bt batch rows per grid cell.
-    ``mat_shapes``: trailing block shapes for the 4 per-limb matrix
-    inputs, in argument order.  Limb tables are indexed at absolute limb
-    lo + l; scalar tables live in SMEM."""
+
+    Grid order is (limb, batch) with batch INNERMOST: the per-limb weight
+    and twiddle blocks have batch-independent index maps, so Pallas skips
+    re-fetching them across the whole batch sweep — they are ~5x the x
+    tile's bytes at N=2^15, so batch-inner order removes most of the
+    kernel's HBM traffic.  ``mat_shapes``: trailing block shapes for the
+    4 per-limb matrix inputs, in argument order.  Limb tables are indexed
+    at absolute limb lo + l; scalar tables live in SMEM."""
     nb = 2 * NDIG - 1
-    grid = (B // bt, Lact)
+    grid = (Lact, B // bt)
 
     def limb(blk, space=pltpu.VMEM):
-        def idx(b, l):
+        def idx(l, b):
             return (l + lo,) + (0,) * len(blk)
         return pl.BlockSpec((1,) + blk, idx, memory_space=space)
 
     in_specs = [
-        pl.BlockSpec((bt, 1) + in_tile, lambda b, l: (b, l, 0, 0),
+        pl.BlockSpec((bt, 1) + in_tile, lambda l, b: (b, l, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [limb(s) for s in mat_shapes] + [
         limb((1, nb), pltpu.SMEM),        # fold_mul
@@ -286,7 +275,7 @@ def _call(kernel, B, bt, Lact, lo, mat_shapes, in_tile, out_tile,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bt, 1) + out_tile,
-                               lambda b, l: (b, l, 0, 0),
+                               lambda l, b: (b, l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lact) + out_tile, jnp.uint32),
         interpret=interpret,
@@ -294,12 +283,10 @@ def _call(kernel, B, bt, Lact, lo, mat_shapes, in_tile, out_tile,
 
 
 def _batch_tile(B: int, n1: int, n2: int) -> int:
-    """Batch rows per grid cell.  Default 1: the 2D kernel is the path
-    Mosaic compiles today (the 3D batched variant trips "unsupported
-    shape cast" on the final transpose); opt in via MOAI_PALLAS_BT to
-    experiment with larger MXU tiles."""
+    """Batch rows per grid cell (in-kernel 2D loop).  Bounded by an ~8 MB
+    VMEM budget for the x/out tiles; override via MOAI_PALLAS_BT."""
     import os
-    want = int(os.environ.get("MOAI_PALLAS_BT", "1"))
+    want = int(os.environ.get("MOAI_PALLAS_BT", "4"))
     budget = max(1, (8 << 20) // (n1 * n2 * 16))
     bt = 1
     for cand in (2, 4, 8):

@@ -156,3 +156,27 @@ def test_batched_ciphertexts(setup):
         one = prod.with_data(prod.data[i])
         out = decryptor.decrypt(one)
         assert np.max(np.abs(out.real - a[i] * w)) < 1e-4
+
+
+def test_sliced_keys(setup):
+    """Keys restricted to a stage level (keys.slice_kswitch/slice_galois)
+    produce bit-identical results to full keys at that level — the
+    flagship driver's per-stage key residency relies on this."""
+    from moai_tpu.keys import slice_kswitch, slice_galois
+    from moai_tpu.evaluator import Evaluator
+    import jax.numpy as jnp
+    ctx, enc, kg, encryptor, decryptor, ev = setup
+    n_q = ctx.L - 2
+    v = rand_vals(ctx)
+    ct = encryptor.encrypt_values(v)
+    ct = ev.mod_drop_to(ct, n_q)
+    full_rot = ev.rotate(ct, 1)
+    full_sq = ev.square_rescale(ct)
+    ev2 = Evaluator(ctx,
+                    relin_key=slice_kswitch(ev.relin_key, n_q, ctx.L),
+                    galois_keys=slice_galois(ev.galois_keys, n_q, ctx.L))
+    assert ev2.relin_key.data.shape[-2] == n_q + ctx.K
+    got_rot = ev2.rotate(ct, 1)
+    got_sq = ev2.square_rescale(ct)
+    assert jnp.array_equal(full_rot.data, got_rot.data)
+    assert jnp.array_equal(full_sq.data, got_sq.data)

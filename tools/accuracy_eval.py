@@ -22,6 +22,11 @@ columns.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
+
 import argparse
 import json
 
@@ -116,13 +121,21 @@ def main():
             x = plain_bert_layer(x, w, dims)
         return x
 
-    feats = np.stack([plain_forward(xs[j])[0] for j in range(n_inputs)])
-    # probe: random labels, least-squares classifier (2 classes)
-    labels = rng.integers(0, 2, n_inputs)
+    # probe classifier trained on HELD-OUT plaintext inputs (disjoint from
+    # the eval batch — training on the eval inputs would interpolate them
+    # exactly and make agreement vacuous), then both pipelines are scored
+    # on the fresh eval inputs only.
+    n_train = 32
+    xs_train = rng.normal(0, 0.6, (n_train, dims.num_row, dims.d_model))
+    train_feats = np.stack([plain_forward(xs_train[j])[0]
+                            for j in range(n_train)])
+    labels = rng.integers(0, 2, n_train)
     Y = np.eye(2)[labels]
     Wc, *_ = np.linalg.lstsq(
-        np.concatenate([feats, np.ones((n_inputs, 1))], 1), Y, rcond=None)
+        np.concatenate([train_feats, np.ones((n_train, 1))], 1), Y,
+        rcond=None)
     clf = lambda f: (np.concatenate([f, np.ones(1)]) @ Wc).argmax()
+    feats = np.stack([plain_forward(xs[j])[0] for j in range(n_inputs)])
     plain_dec = np.array([clf(f) for f in feats])
 
     # encrypted pipeline

@@ -11,6 +11,11 @@ Prints one JSON line: {"logN", "slots", "lt_group", "levels",
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
+
 import argparse
 import json
 import time
@@ -126,13 +131,15 @@ def main():
         z = j_modraise(ct_in)
         for j in j_c2s:
             z = j(z)
-        t = ev.with_scale(z, bt.q0 * z.scale / delta_in)
+        t = ev.with_scale(z, bt.q0 * z.scale / delta_in,
+                          reason="ModRaise: slots hold m*Delta/q0 + I")
         w = j_evalmod(t)
         alpha = ctx.scale * bt.q0 / (2 * _np.pi * delta_in * w.scale)
         outc = w
         for i, jf in enumerate(j_s2c_build(alpha)):
             outc = jf(outc)
-        return ev.with_scale(outc, ctx.scale)
+        return ev.with_scale(outc, ctx.scale,
+                             reason="SlotToCoeff folded alpha into last LT")
 
     _s2c_cache = {}
 

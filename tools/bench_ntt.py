@@ -1,6 +1,11 @@
 """NTT microbenchmark: jnp 4-step vs Pallas MXU kernel on the current
 backend (the reference's analog: native/bench/ntt.cpp)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
+
 import json
 import time
 

@@ -2,6 +2,11 @@
 (the reference does this with decrypts inside op code, softmax.hpp:472;
 here it is an external tool).  Run: python tools/debug_boot.py"""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
+
 import os
 import sys
 
@@ -74,7 +79,7 @@ def main():
     z = raised
     for lev in bt.c2s_levels:
         z = apply_diagonals(ev, enc, z, lev)
-    zt = ev.with_scale(z, bt.q0)
+    zt = ev.with_scale(z, bt.q0, reason="debug: ModRaise reinterpretation")
     got_t = dec.decrypt(zt)
     # expected (up to the factored path's bit-reversal permutation)
     v_f = v_raised.astype(np.float64)

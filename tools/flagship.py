@@ -5,23 +5,38 @@ per-stage prints :528-555; Table 3 levels: QKV 15->14, QKT 14->13,
 softmax 13->3, AV 3->2, W_O 2->1, LN 21->1, FFN 10->9, GELU 9->2,
 W_F 2->1).
 
-Stages are independent jitted calls on synthetic ciphertexts encrypted at
-the stage's entry level (one compile each, the per-head fn reused across
-heads, FFN chunk fn reused across chunks), so the full-768-column layer
-fits one chip's HBM even though an end-to-end no-bootstrap chain would
-not — exactly like the real bootstrapped execution, where no ciphertext
-ever exceeds the post-bootstrap level.  The one reference stage not
-covered here is bootstrapping itself (tools/bench_boot.py).
+Memory design (fits the 16 GB v5e at logN=15, d_model=768):
+- Every stage allocates its own inputs and frees them after; nothing from
+  a previous stage stays resident.
+- Keys are generated ONCE, pulled to host, and per stage only the keys
+  that stage needs are uploaded, SLICED to the stage's working level
+  (keys.slice_kswitch — a key mod a chain prefix is still valid).
+- The column axis is chunked everywhere it is wide: CPMM accumulates
+  [j_chunk x i_chunk] partial matmuls, LayerNorm runs its 3 passes in
+  col_chunk batches, the FFN pipelines d_inter in i-chunks, and the
+  QKT CCMM uses the double-BSGS col_chunk path.
+- Timing inputs are uniform residue tensors (every evaluator kernel is
+  branchless/data-oblivious, so wall time does not depend on values);
+  numerical correctness is covered by tests/ and the golden suite.
+- Keys and weight digits travel as jit ARGUMENTS (keeps HLO bodies small
+  for the remote compiler and lets stages free them).
 
 Per-input amortization: stage seconds / num_x interleaved inputs
-(reference convention, README.md:29-31).
+(reference convention, README.md:29-31).  ``vs_ref_stages`` ratios are
+printed ONLY at the reference's real dims (num_row=128, d_model=768) —
+at smoke dims they would be meaningless.
 
 Usage: python tools/flagship.py --preset {smoke,n15} [--stages a,b,...]
 """
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
 import argparse
+import gc
 import json
 import time
 
@@ -43,12 +58,14 @@ REF_NOBOOT_PER_LAYER_S = sum(REF_PER_LAYER_S.values())   # ~15.8 s/input
 PRESETS = {
     "smoke": dict(logN=11, num_x=128, num_row=8, d_model=32, num_heads=2,
                   head_dim=16, d_inter=64, exp_r=4, inv_iters=4,
-                  ln_newton=2, ln_gold=1, ffn_chunk=64, dnum=2,
-                  reps=1),
+                  ln_newton=2, ln_gold=1, dnum=2,
+                  j_chunk=32, i_chunk=32, ln_chunk=32, ffn_i_chunk=32,
+                  ccmm_col_chunk=16, reps=1),
     "n15": dict(logN=15, num_x=128, num_row=128, d_model=768, num_heads=12,
                 head_dim=64, d_inter=3072, exp_r=7, inv_iters=16,
-                ln_newton=3, ln_gold=1, ffn_chunk=512, dnum=3,
-                reps=1),
+                ln_newton=3, ln_gold=1, dnum=3,
+                j_chunk=256, i_chunk=192, ln_chunk=48, ffn_i_chunk=128,
+                ccmm_col_chunk=16, reps=1),
 }
 
 
@@ -58,27 +75,25 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     from moai_tpu import mod_arith as ma
     from moai_tpu.params import CKKSConfig, make_context
     from moai_tpu.encoder import Encoder
-    from moai_tpu.keys import KeyGenerator
-    from moai_tpu.encrypt import Encryptor
+    from moai_tpu.keys import (KeyGenerator, KSwitchKey, GaloisKeys,
+                               slice_kswitch)
     from moai_tpu.evaluator import Evaluator
-    from moai_tpu.ciphertext import Ciphertext
+    from moai_tpu.ciphertext import Ciphertext, Plaintext
     from moai_tpu.ops.packing import bias_vec
-    from moai_tpu.ops.matmul import (CPMM, ccmm_col_to_diag,
-                                     ccmm_diag_to_col, ccmm_col_steps,
-                                     ccmm_diag_steps)
-    from moai_tpu.ops.nonlinear import (softmax_diag, layernorm, gelu,
-                                        diag_valid_masks,
+    from moai_tpu.ops.matmul import (ccmm_col_to_diag, ccmm_diag_to_col,
+                                     ccmm_col_steps, ccmm_diag_steps)
+    from moai_tpu.ops.nonlinear import (softmax_diag, softmax_pts, layernorm,
+                                        gelu, diag_valid_masks, encode_plain,
                                         inverse_goldschmidt)
     from moai_tpu.modmat import (host_weight_digits, host_bucket_consts,
                                  mod_matmul)
     from moai_tpu.models.bert import BertDims
-    from moai_tpu.utils.debug import StageTimer
 
     p = PRESETS[preset]
     dims = BertDims(num_x=p["num_x"], num_row=p["num_row"],
                     d_model=p["d_model"], num_heads=p["num_heads"],
                     head_dim=p["head_dim"], d_inter=p["d_inter"])
-    # max level any stage needs: LN entry (6 + 3*newton + 2*gold + 1)
+    real_dims = dims.num_row == 128 and dims.d_model == 768
     ln_depth = 6 + 3 * p["ln_newton"] + 2 * p["ln_gold"]
     inv_depth = p["inv_iters"] + 1
     n_levels = max(16, ln_depth + 2, inv_depth + 3)
@@ -88,127 +103,224 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     ctx = make_context(cfg)
     assert dims.num_x * dims.num_row == ctx.cfg.slots
     enc = Encoder(ctx)
+    N = ctx.cfg.N
+    scale = ctx.scale
+    q0 = ctx.n_q0
+    hd, H = dims.head_dim, dims.num_heads
+    L = ctx.L
+
+    def lv(k):     # composite level k above q0 -> prime count
+        return min(L, q0 + 2 * k)
+
+    # ---- keygen once; keys live on HOST between stages ------------------
     t0 = time.perf_counter()
     kg = KeyGenerator(ctx, seed=11)
     steps = sorted(set(ccmm_col_steps(dims.num_x, dims.num_row)
                        + ccmm_diag_steps(dims.num_x, dims.num_row)))
-    gks = kg.gen_galois_keys(steps=steps)
-    encryptor = Encryptor(ctx, enc, kg.gen_public_key(), kg)
-    ev = Evaluator(ctx, relin_key=kg.gen_relin_key(), galois_keys=gks)
+    gks_dev = kg.gen_galois_keys(steps=steps)
+    host_gal = {g: np.asarray(k.data) for g, k in gks_dev.keys.items()}
+    perms = gks_dev.perms
+    host_relin = np.asarray(kg.gen_relin_key().data)
+    del gks_dev, kg
+    gc.collect()
     setup_s = time.perf_counter() - t0
+    if verbose:
+        print(f"[moai] setup (keygen -> host)    {setup_s:8.1f} s "
+              f"({len(host_gal)} galois keys)", flush=True)
 
+    ev = Evaluator(ctx)
     rng = np.random.default_rng(3)
     lens = np.full(min(8, dims.num_x), dims.num_row)
     mask = bias_vec(lens, dims.num_x, dims.num_row, ctx.cfg.slots)
     masks = diag_valid_masks(lens, dims.num_x, dims.num_row, ctx.cfg.slots)
-    scale = ctx.scale
-    q0 = ctx.n_q0
-    hd, H = dims.head_dim, dims.num_heads
 
-    def lv(k):     # composite level k above q0 -> prime count
-        return min(ctx.L, q0 + 2 * k)
+    def fake_ct(ncols, n_q):
+        """Uniform residue tensor shaped like a ciphertext batch (valid
+        Montgomery representatives; kernels are data-oblivious)."""
+        qs = np.asarray(ctx.q_primes[:n_q], np.uint64)
+        d = (rng.integers(0, 1 << 62, (ncols, 2, n_q, N), dtype=np.uint64)
+             % qs[None, None, :, None]).astype(np.uint32)
+        return Ciphertext(jnp.asarray(d), scale, True)
 
-    def enc_at(ncols, n_q, mag=0.3):
-        vals = rng.normal(0, mag, (ncols, ctx.cfg.slots))
-        return encryptor.encrypt(encryptor.encode(vals, n_q=n_q))
-
-    timer = StageTimer(verbose=verbose)
-    results = {}
-
-    def stage(name, build, inputs, reps=p["reps"]):
-        if only and name not in only:
-            return
-        fn = jax.jit(build)
-        out = fn(*inputs)                       # compile
-        jax.tree_util.tree_map(
-            lambda l: l.block_until_ready() if hasattr(
-                l, "block_until_ready") else None, out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*inputs)
-        jax.tree_util.tree_map(
-            lambda l: l.block_until_ready() if hasattr(
-                l, "block_until_ready") else None, out)
-        dt = (time.perf_counter() - t0) / reps
-        results[name] = dt
-        if verbose:
-            print(f"[moai] {name:<24} {dt:8.3f} s")
+    def upload_keys(n_q, galois=False, relin=True):
+        """Per-stage key pytree, sliced to the stage level."""
+        out = {}
+        if relin:
+            out["relin"] = slice_kswitch(
+                KSwitchKey(jnp.asarray(host_relin)), n_q, L).data
+        if galois:
+            out["gal"] = {
+                g: slice_kswitch(KSwitchKey(jnp.asarray(d)), n_q, L).data
+                for g, d in host_gal.items()}
         return out
 
-    W = lambda *s: rng.normal(0, 0.05, s)
+    def bind_keys(keys, n_q):
+        if "relin" in keys:
+            ev.relin_key = KSwitchKey(keys["relin"], q_limbs=n_q)
+        if "gal" in keys:
+            ev.galois_keys = GaloisKeys(
+                {g: KSwitchKey(d, q_limbs=n_q)
+                 for g, d in keys["gal"].items()}, perms)
 
-    # ---- QKV CPMM (reference level 15->14; V computed at 4->3) ----------
-    # biases via per-column residues (add_const_vec); weight digit planes
-    # travel as jit arguments (CPMM.params)
-    n_att = lv(15)
-    x = enc_at(dims.d_model, n_att)
-    q_mm = CPMM(ev, enc, W(dims.d_model, H * hd) / np.sqrt(hd), n_att,
-                mask=mask)
-    k_mm = CPMM(ev, enc, W(dims.d_model, H * hd), n_att, mask=mask)
-    v_mm = CPMM(ev, enc, W(dims.d_model, H * hd), lv(4), mask=mask)
-    bq, bk, bv = W(H * hd), W(H * hd), W(H * hd)
+    def unbind():
+        ev.relin_key = None
+        ev.galois_keys = None
+        ev._perm_cache.clear()
 
-    def f_qkv(xd, qp, kp, vp):
-        xc = Ciphertext(xd, scale, True)
-        return (ev.add_const_vec(q_mm(xc, params=qp), bq).data,
-                ev.add_const_vec(k_mm(xc, params=kp), bk).data,
-                ev.add_const_vec(v_mm(ev.mod_drop_to(xc, lv(4)),
-                                      params=vp), bv).data)
+    def w_digits(J, I, n_q, w_scale):
+        Wm = rng.normal(0, 0.05, (J, I))
+        qs = ctx.q_primes[:n_q]
+        res = np.empty((n_q, J, I), dtype=np.uint32)
+        wi64 = np.round(Wm * w_scale).astype(np.int64)
+        for li, qq in enumerate(qs):
+            res[li] = (wi64 % qq).astype(np.uint32)
+        return jnp.asarray(host_weight_digits(res))
 
-    stage("qkv_cpmm", f_qkv,
-          (x.data, q_mm.params(), k_mm.params(), v_mm.params()))
-    del x
+    def buckets(n_q):
+        bm, bo = host_bucket_consts(ctx.q_primes[:n_q])
+        return jnp.asarray(bm), jnp.asarray(bo)
 
-    # ---- QK^T CCMM per head (14->13), all heads sequential --------------
-    n_qk = lv(14)
-    qh = enc_at(hd, n_qk)
-    kh = enc_at(hd, n_qk)
+    results = {}
 
-    def f_qkt(qd, kd):
-        return ccmm_col_to_diag(ev, Ciphertext(qd, scale, True),
-                                Ciphertext(kd, scale, True),
-                                dims.num_x, dims.num_row).data
+    def block(x):
+        jax.tree_util.tree_map(
+            lambda l: l.block_until_ready()
+            if hasattr(l, "block_until_ready") else None, x)
 
-    if only is None or "qkt_ccmm" in only:
-        fn = jax.jit(f_qkt)
-        out = fn(qh.data, kh.data)
-        out.block_until_ready()
-        t1 = time.perf_counter()
-        for _ in range(H):
-            out = fn(qh.data, kh.data)
-        out.block_until_ready()
-        results["qkt_ccmm"] = time.perf_counter() - t1
+    def record(name, dt, note=""):
+        results[name] = dt
         if verbose:
-            print(f"[moai] {'qkt_ccmm':<24} {results['qkt_ccmm']:8.3f} s "
-                  f"({H} heads)")
+            print(f"[moai] {name:<24} {dt:8.3f} s  {note}", flush=True)
 
-    # ---- softmax (13 -> refresh slot -> out), all heads ----------------
-    # part 1: exp + mask + sum (13 -> ...); part 2: inverse + final mult
-    # at the post-bootstrap level (the reference bootstraps the sum ct)
-    n_sm = lv(13)
-    sm_in = enc_at(dims.num_row, n_sm)
+    def want(name):
+        return only is None or name in only
 
-    def f_sm_exp(sd):
-        ct = Ciphertext(sd, scale, True)
-        return softmax_diag(ev, enc, ct, masks, max_val=4.0,
-                            refresh=lambda c: c,
-                            inv_iters=0, exp_r=p["exp_r"]).data
+    # =====================================================================
+    # QKV CPMM (reference 15->14; V at 4->3).  Chunked accumulate:
+    # out[i-chunk] = sum over j-chunks of modmatmul(x[j-chunk], W-chunk),
+    # then mask-multiply + rescale_pair + bias — identical op sequence to
+    # ops.matmul.CPMM, chunk-partitioned.
+    # =====================================================================
+    if want("qkv_cpmm"):
+        jc, ic = p["j_chunk"], p["i_chunk"]
+        d = dims.d_model
+        nj, ni = -(-d // jc), -(-(H * hd) // ic)
 
-    if only is None or "softmax" in only:
-        fn = jax.jit(f_sm_exp)
-        out = fn(sm_in.data)
-        out.block_until_ready()
-        t1 = time.perf_counter()
+        def stage_cpmm(n_q):
+            bm, bo = buckets(n_q)
+            w_sc = float(ctx.q_primes[n_q - 1])        # masked variant
+            mask_sc = float(ctx.q_primes[n_q - 2])
+            mask_pt = encode_plain(ev, enc, mask, mask_sc, n_q)
+            x_chunk = fake_ct(jc, n_q)
+            wd = [w_digits(jc, ic, n_q, w_sc) for _ in range(ni)]
+            bias = rng.normal(0, 0.05, ic)
+
+            def f_mm(xd, wdig, acc):
+                part = mod_matmul(xd, wdig, bm, bo,
+                                  ev.dev["q"][:n_q], ev.dev["qneg_inv"][:n_q])
+                return part if acc is None else \
+                    ma.add_mod(acc, part, ev.dev["q"][:n_q].reshape(-1, 1))
+
+            def f_fin(acc, mpt):
+                ct = Ciphertext(acc, scale * w_sc, True)
+                ct = ev.multiply_plain(ct, Plaintext(mpt, mask_sc))
+                ct = ev.rescale_pair(ct)
+                return ev.add_const_vec(ct, bias).data
+
+            jf_mm = jax.jit(f_mm)
+            jf_fin = jax.jit(f_fin)
+            # compile
+            acc = jf_mm(x_chunk.data, wd[0], None)
+            out = jf_fin(acc, mask_pt.data)
+            block(out)
+            t0 = time.perf_counter()
+            for ii in range(ni):
+                acc = None
+                for ji in range(nj):
+                    acc = jf_mm(x_chunk.data, wd[ii], acc)
+                out = jf_fin(acc, mask_pt.data)
+            block(out)
+            dt = time.perf_counter() - t0
+            del x_chunk, wd, acc, out, mask_pt
+            gc.collect()
+            return dt
+
+        qk_s = 2 * stage_cpmm(lv(15))     # Q and K at attention level
+        v_s = stage_cpmm(lv(4))           # V at the post-softmax level
+        record("qkv_cpmm", qk_s + v_s,
+               f"(QK {qk_s:.3f} + V {v_s:.3f}, {nj}x{ni} chunks)")
+
+    # =====================================================================
+    # QK^T CCMM per head (14->13): double-BSGS col->diag, all heads
+    # =====================================================================
+    if want("qkt_ccmm"):
+        n_qk = lv(14)
+        keys = upload_keys(n_qk, galois=True)
+        qh, kh = fake_ct(hd, n_qk), fake_ct(hd, n_qk)
+
+        def f_qkt(qd, kd, ks):
+            bind_keys(ks, n_qk)
+            return ccmm_col_to_diag(ev, Ciphertext(qd, scale, True),
+                                    Ciphertext(kd, scale, True),
+                                    dims.num_x, dims.num_row,
+                                    col_chunk=p["ccmm_col_chunk"]).data
+
+        jf = jax.jit(f_qkt)
+        out = jf(qh.data, kh.data, keys)
+        unbind()
+        block(out)
+        t0 = time.perf_counter()
         for _ in range(H):
-            out = fn(sm_in.data)
-        out.block_until_ready()
-        part1 = time.perf_counter() - t1
-        # part 2: Goldschmidt inverse of the bootstrapped sum + e*inv
-        n_inv = lv(inv_depth + 2)
-        s_ct = enc_at(1, n_inv, mag=0.2)
-        e_ct = enc_at(dims.num_row, n_inv)
+            out = jf(qh.data, kh.data, keys)
+        block(out)
+        unbind()
+        record("qkt_ccmm", time.perf_counter() - t0, f"({H} heads)")
+        del qh, kh, keys, out
+        gc.collect()
 
-        def f_sm_inv(sd, ed):
+    # =====================================================================
+    # softmax (13 -> refresh slot -> out), all heads.
+    # part 1: exp + mask + sum; part 2: Goldschmidt inverse of the
+    # refreshed sum + final exp*inv multiply (the reference bootstraps the
+    # single sum ciphertext between the parts).
+    # =====================================================================
+    if want("softmax"):
+        n_sm = lv(13)
+        sm_in = fake_ct(dims.num_row, n_sm)
+        keys = upload_keys(n_sm)
+        neg_pt, mask_pt = softmax_pts(ev, enc, masks, 4.0, scale, n_sm,
+                                      exp_r=p["exp_r"])
+
+        def f_sm_exp(sd, ks, npd, mpd):
+            bind_keys(ks, n_sm)
+            ct = Ciphertext(sd, scale, True)
+            pts = (Plaintext(npd, neg_pt.scale),
+                   Plaintext(mpd, mask_pt.scale))
+            return softmax_diag(ev, enc, ct, masks, max_val=4.0,
+                                refresh=lambda c: c,
+                                inv_iters=0, exp_r=p["exp_r"],
+                                pts=pts).data
+
+        jf = jax.jit(f_sm_exp)
+        out = jf(sm_in.data, keys, neg_pt.data, mask_pt.data)
+        unbind()
+        block(out)
+        t0 = time.perf_counter()
+        for _ in range(H):
+            out = jf(sm_in.data, keys, neg_pt.data, mask_pt.data)
+        block(out)
+        unbind()
+        part1 = time.perf_counter() - t0
+        del sm_in, out, keys, neg_pt, mask_pt
+        gc.collect()
+
+        n_inv = lv(inv_depth + 2)
+        keys = upload_keys(n_inv)
+        s_ct = fake_ct(1, n_inv)
+        e_ct = fake_ct(dims.num_row, n_inv)
+
+        def f_sm_inv(sd, ed, ks):
+            bind_keys(ks, n_inv)
             s = Ciphertext(sd[0], scale, True)
             s = ev.add_const(s, 0.7)           # keep 1/x domain sane
             inv = inverse_goldschmidt(ev, s, p["inv_iters"])
@@ -218,153 +330,197 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
                 en, invn.with_data(jnp.broadcast_to(
                     invn.data[None], en.data.shape))).data
 
-        fn2 = jax.jit(f_sm_inv)
-        out2 = fn2(s_ct.data, e_ct.data)
-        out2.block_until_ready()
-        t1 = time.perf_counter()
+        jf2 = jax.jit(f_sm_inv)
+        out2 = jf2(s_ct.data, e_ct.data, keys)
+        unbind()
+        block(out2)
+        t0 = time.perf_counter()
         for _ in range(H):
-            out2 = fn2(s_ct.data, e_ct.data)
-        out2.block_until_ready()
-        part2 = time.perf_counter() - t1
-        results["softmax"] = part1 + part2
-        if verbose:
-            print(f"[moai] {'softmax':<24} {part1 + part2:8.3f} s "
-                  f"(exp/sum {part1:.3f} + inv/mult {part2:.3f}, {H} heads)")
+            out2 = jf2(s_ct.data, e_ct.data, keys)
+        block(out2)
+        unbind()
+        part2 = time.perf_counter() - t0
+        record("softmax", part1 + part2,
+               f"(exp/sum {part1:.3f} + inv/mult {part2:.3f}, {H} heads)")
+        del s_ct, e_ct, out2, keys
+        gc.collect()
 
-    # ---- softmax*V diag->col CCMM (3->2), all heads ---------------------
-    n_av = lv(3)
-    av_a = enc_at(dims.num_row, n_av)
-    av_v = enc_at(hd, n_av)
+    # =====================================================================
+    # softmax*V diag->col CCMM (3->2), all heads
+    # =====================================================================
+    if want("av_ccmm"):
+        n_av = lv(3)
+        keys = upload_keys(n_av, galois=True)
+        av_a, av_v = fake_ct(dims.num_row, n_av), fake_ct(hd, n_av)
 
-    def f_av(ad, vd):
-        return ccmm_diag_to_col(ev, Ciphertext(ad, scale, True),
-                                Ciphertext(vd, scale, True),
-                                dims.num_x, dims.num_row).data
+        def f_av(ad, vd, ks):
+            bind_keys(ks, n_av)
+            return ccmm_diag_to_col(ev, Ciphertext(ad, scale, True),
+                                    Ciphertext(vd, scale, True),
+                                    dims.num_x, dims.num_row).data
 
-    if only is None or "av_ccmm" in only:
-        fn = jax.jit(f_av)
-        out = fn(av_a.data, av_v.data)
-        out.block_until_ready()
-        t1 = time.perf_counter()
+        jf = jax.jit(f_av)
+        out = jf(av_a.data, av_v.data, keys)
+        unbind()
+        block(out)
+        t0 = time.perf_counter()
         for _ in range(H):
-            out = fn(av_a.data, av_v.data)
-        out.block_until_ready()
-        results["av_ccmm"] = time.perf_counter() - t1
-        if verbose:
-            print(f"[moai] {'av_ccmm':<24} {results['av_ccmm']:8.3f} s "
-                  f"({H} heads)")
+            out = jf(av_a.data, av_v.data, keys)
+        block(out)
+        unbind()
+        record("av_ccmm", time.perf_counter() - t0, f"({H} heads)")
+        del av_a, av_v, keys, out
+        gc.collect()
 
-    # ---- self-output CPMM (2->1) ---------------------------------------
-    att = enc_at(dims.d_model, lv(2))
-    o_mm = CPMM(ev, enc, W(dims.d_model, dims.d_model), lv(2), mask=mask)
-    bo = W(dims.d_model)
-    stage("self_output_cpmm",
-          lambda d, op: ev.add_const_vec(
-              o_mm(Ciphertext(d, scale, True), params=op), bo).data,
-          (att.data, o_mm.params()))
-    del att
+    # =====================================================================
+    # self-output CPMM 768->768 (2->1) — low level, no chunking needed
+    # =====================================================================
+    if want("self_output_cpmm"):
+        n_so = lv(2)
+        bm, bo = buckets(n_so)
+        w_sc = float(ctx.q_primes[n_so - 1]) * float(ctx.q_primes[n_so - 2])
+        att = fake_ct(dims.d_model, n_so)
+        wd = w_digits(dims.d_model, dims.d_model, n_so, w_sc)
+        bias = rng.normal(0, 0.05, dims.d_model)
 
-    # ---- LayerNorm x2 (reference 21->1 each) ---------------------------
-    n_ln = lv(ln_depth + 1)
-    h_ln = enc_at(dims.d_model, n_ln)
-    g_v, b_v = rng.uniform(0.8, 1.2, dims.d_model), W(dims.d_model)
+        def f_so(xd, wdig):
+            out = mod_matmul(xd, wdig, bm, bo, ev.dev["q"][:n_so],
+                             ev.dev["qneg_inv"][:n_so])
+            ct = ev.rescale_pair(Ciphertext(out, scale * w_sc, True))
+            return ev.add_const_vec(ct, bias).data
 
-    def f_ln(hdata):
-        ct = Ciphertext(hdata, scale, True)
-        return layernorm(ev, ct, g_v, b_v,
-                         var_domain=(0.05 * dims.d_model ** 2,
-                                     2.0 * dims.d_model ** 2),
-                         newton_iters=p["ln_newton"],
-                         gold_iters=p["ln_gold"]).data
+        jf = jax.jit(f_so)
+        out = jf(att.data, wd)
+        block(out)
+        t0 = time.perf_counter()
+        out = jf(att.data, wd)
+        block(out)
+        record("self_output_cpmm", time.perf_counter() - t0)
+        del att, wd, out
+        gc.collect()
 
-    if only is None or "layernorm_x2" in only:
-        fn = jax.jit(f_ln)
-        out = fn(h_ln.data)
-        out.block_until_ready()
-        t1 = time.perf_counter()
-        out = fn(h_ln.data)
-        out2 = fn(h_ln.data)
-        out2.block_until_ready()
-        results["layernorm_x2"] = time.perf_counter() - t1
-        if verbose:
-            print(f"[moai] {'layernorm_x2':<24} "
-                  f"{results['layernorm_x2']:8.3f} s")
-    del h_ln
+    # =====================================================================
+    # LayerNorm x2 (reference 21->1 each) — chunked 3-pass layernorm
+    # =====================================================================
+    if want("layernorm_x2"):
+        n_ln = lv(ln_depth + 1)
+        keys = upload_keys(n_ln)
+        g_v = rng.uniform(0.8, 1.2, dims.d_model)
+        b_v = rng.normal(0, 0.05, dims.d_model)
 
-    # ---- FFN: W_I CPMM (10->9) + GELU (9->2) + W_F CPMM (2->1) ---------
-    gelu_deg = 24
-    gelu_depth = 2 + max(1, (gelu_deg - 1).bit_length())
-    n_ffn = lv(10)
-    n_gelu_out = n_ffn - 2 - 2 * gelu_depth     # CPMM rescale + gelu
-    ffn_chunk = p["ffn_chunk"]
+        def f_ln(hdata, ks):
+            bind_keys(ks, n_ln)
+            ct = Ciphertext(hdata, scale, True)
+            return layernorm(ev, ct, g_v, b_v,
+                             var_domain=(0.05 * dims.d_model ** 2,
+                                         2.0 * dims.d_model ** 2),
+                             newton_iters=p["ln_newton"],
+                             gold_iters=p["ln_gold"],
+                             col_chunk=p["ln_chunk"]).data
 
-    def enc_digits(Wm, n_q, w_scale):
-        qs = ctx.q_primes[:n_q]
-        res = np.empty((n_q,) + Wm.shape, dtype=np.uint32)
-        wi64 = np.round(np.asarray(Wm, np.float64) * w_scale
-                        ).astype(np.int64)
-        for li, qq in enumerate(qs):
-            res[li] = (wi64 % qq).astype(np.uint32)
-        return jnp.asarray(host_weight_digits(res))
+        jf = jax.jit(f_ln, donate_argnums=(0,))
+        h_ln = fake_ct(dims.d_model, n_ln)
+        out = jf(h_ln.data, keys)
+        unbind()
+        block(out)
+        del h_ln, out
+        gc.collect()
+        h1 = fake_ct(dims.d_model, n_ln)
+        t0 = time.perf_counter()
+        out = jf(h1.data, keys)
+        block(out)
+        del h1, out
+        h2 = fake_ct(dims.d_model, n_ln)
+        t1 = time.perf_counter()   # exclude host fake_ct generation
+        out2 = jf(h2.data, keys)
+        block(out2)
+        t2 = time.perf_counter()
+        unbind()
+        record("layernorm_x2", (t1 - t0) + (t2 - t1))
+        del h2, out2, keys
+        gc.collect()
 
-    wi_scale = float(ctx.q_primes[n_ffn - 1]) * \
-        float(ctx.q_primes[n_ffn - 2])
-    wf_scale = float(ctx.q_primes[n_gelu_out - 1]) * \
-        float(ctx.q_primes[n_gelu_out - 2])
-    wi_digs = [enc_digits(W(dims.d_model, ffn_chunk), n_ffn, wi_scale)
-               for _ in range(dims.d_inter // ffn_chunk)]
-    wf_digs = [enc_digits(W(ffn_chunk, dims.d_model), n_gelu_out, wf_scale)
-               for _ in range(dims.d_inter // ffn_chunk)]
-    bm_i, bo_i = host_bucket_consts(ctx.q_primes[:n_ffn])
-    bm_f, bo_f = host_bucket_consts(ctx.q_primes[:n_gelu_out])
-    bm_i, bo_i = jnp.asarray(bm_i), jnp.asarray(bo_i)
-    bm_f, bo_f = jnp.asarray(bm_f), jnp.asarray(bo_f)
-    h_ffn = enc_at(dims.d_model, n_ffn)
+    # =====================================================================
+    # FFN: W_I CPMM (10->9) + GELU (9->2) + W_F CPMM (2->1), pipelined
+    # over d_inter i-chunks; W_F outputs accumulate into [d_model] cols
+    # =====================================================================
+    if want("ffn_gelu_ffn"):
+        gelu_deg = 24
+        gelu_depth = 2 + max(1, (gelu_deg - 1).bit_length())
+        n_ffn = lv(10)
+        n_go = n_ffn - 2 - 2 * gelu_depth          # post-GELU level
+        keys = upload_keys(n_ffn)
+        fic = p["ffn_i_chunk"]
+        jc = min(p["j_chunk"], dims.d_model)
+        nj = -(-dims.d_model // jc)
+        n_ic = dims.d_inter // fic
+        bm_i, bo_i = buckets(n_ffn)
+        bm_f, bo_f = buckets(n_go)
+        wi_sc = float(ctx.q_primes[n_ffn - 1]) * float(ctx.q_primes[n_ffn - 2])
+        wf_sc = float(ctx.q_primes[n_go - 1]) * float(ctx.q_primes[n_go - 2])
+        x_chunk = fake_ct(jc, n_ffn)
+        n_wmat = min(n_ic, 4)       # distinct weight chunks cycled (timing
+        wi_d = [w_digits(jc, fic, n_ffn, wi_sc)    # is weight-oblivious)
+                for _ in range(n_wmat)]
+        wf_d = [w_digits(fic, dims.d_model, n_go, wf_sc)
+                for _ in range(n_wmat)]
 
-    def f_ffn_chunk(hdata, wi_dig, wf_dig):
-        h = Ciphertext(hdata, scale, True)
-        f0 = mod_matmul(h.data, wi_dig, bm_i, bo_i,
-                        ev.dev["q"][:n_ffn], ev.dev["qneg_inv"][:n_ffn])
-        f = ev.rescale_pair(Ciphertext(f0, scale * wi_scale, True))
-        f = gelu(ev, f, domain=16.0, degree=gelu_deg)
-        f = ev.mod_drop_to(f, n_gelu_out)
-        return mod_matmul(f.data, wf_dig, bm_f, bo_f,
-                          ev.dev["q"][:n_gelu_out],
-                          ev.dev["qneg_inv"][:n_gelu_out])
+        def f_wi(xd, wdig, acc):
+            part = mod_matmul(xd, wdig, bm_i, bo_i, ev.dev["q"][:n_ffn],
+                              ev.dev["qneg_inv"][:n_ffn])
+            return part if acc is None else \
+                ma.add_mod(acc, part, ev.dev["q"][:n_ffn].reshape(-1, 1))
 
-    if only is None or "ffn_gelu_ffn" in only:
-        fn = jax.jit(f_ffn_chunk)
-        out = fn(h_ffn.data, wi_digs[0], wf_digs[0])
-        out.block_until_ready()
-        t1 = time.perf_counter()
-        acc = None
-        for ci in range(len(wi_digs)):
-            part = fn(h_ffn.data, wi_digs[ci], wf_digs[ci])
-            qv = ev.dev["q"][:n_gelu_out].reshape(-1, 1)
-            acc = part if acc is None else ma.add_mod(acc, part, qv)
-        acc.block_until_ready()
-        results["ffn_gelu_ffn"] = time.perf_counter() - t1
-        if verbose:
-            print(f"[moai] {'ffn_gelu_ffn':<24} "
-                  f"{results['ffn_gelu_ffn']:8.3f} s "
-                  f"({len(wi_digs)} chunks)")
+        def f_gelu_wf(acc, wfdig, out_acc, ks):
+            bind_keys(ks, n_ffn)
+            f = ev.rescale_pair(Ciphertext(acc, scale * wi_sc, True))
+            f = gelu(ev, f, domain=16.0, degree=gelu_deg)
+            f = ev.mod_drop_to(f, n_go)
+            part = mod_matmul(f.data, wfdig, bm_f, bo_f,
+                              ev.dev["q"][:n_go], ev.dev["qneg_inv"][:n_go])
+            return part if out_acc is None else \
+                ma.add_mod(out_acc, part, ev.dev["q"][:n_go].reshape(-1, 1))
+
+        jf_wi = jax.jit(f_wi)
+        jf_gw = jax.jit(f_gelu_wf)
+        acc = jf_wi(x_chunk.data, wi_d[0], None)
+        out = jf_gw(acc, wf_d[0], None, keys)
+        unbind()
+        block(out)
+        del acc, out
+        t0 = time.perf_counter()
+        out_acc = None
+        for ci in range(n_ic):
+            acc = None
+            for ji in range(nj):
+                acc = jf_wi(x_chunk.data, wi_d[ci % n_wmat], acc)
+            out_acc = jf_gw(acc, wf_d[ci % n_wmat], out_acc, keys)
+        block(out_acc)
+        unbind()
+        record("ffn_gelu_ffn", time.perf_counter() - t0,
+               f"({n_ic} i-chunks x {nj} j-chunks)")
+        del x_chunk, wi_d, wf_d, acc, out_acc, keys
+        gc.collect()
 
     total = sum(results.values())
     per_input = total / dims.num_x
     res = {
         "preset": preset,
+        "backend": jax.default_backend(),
         "N": ctx.cfg.N,
         "num_inputs": dims.num_x,
+        "dims": dict(num_row=dims.num_row, d_model=dims.d_model,
+                     num_heads=H, d_inter=dims.d_inter),
         "stages_s": {k: round(v, 3) for k, v in results.items()},
         "stage_sum_s": round(total, 3),
         "amortized_s_per_input": round(per_input, 4),
-        "ref_noboot_per_layer_s_per_input": round(REF_NOBOOT_PER_LAYER_S,
-                                                  3),
-        "vs_ref_stages": {
-            k: round(REF_PER_LAYER_S[k] / (v / dims.num_x), 2)
-            for k, v in results.items() if k in REF_PER_LAYER_S and v > 0},
+        "ref_noboot_per_layer_s_per_input": round(REF_NOBOOT_PER_LAYER_S, 3),
         "setup_s": round(setup_s, 1),
     }
+    if real_dims:
+        res["vs_ref_stages"] = {
+            k: round(REF_PER_LAYER_S[k] / (v / dims.num_x), 2)
+            for k, v in results.items() if k in REF_PER_LAYER_S and v > 0}
     return res
 
 

@@ -6,6 +6,11 @@ the measured hot spot (the reference's analog: per-stage gettimeofday
 prints, single_att_block.hpp:93-95).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
+
 import json
 import time
 

@@ -14,6 +14,11 @@ Two shardings, matching SURVEY.md §2.4's two parallel axes:
 Writes SCALING.json at the repo root and prints it.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _env  # noqa: F401,E402  (repo path + compile cache)
+
+
 import json
 import os
 import sys
