@@ -7,22 +7,32 @@ column axis — the unit the whole encrypted-BERT runtime is built from
 N=2^15 on one Xeon 8480+ core; see BASELINE.md / paper Table 3 scaling).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` divides by an 80 ops/s single-thread SEAL-4.1 estimate
-for the same composite at N=2^15 (mult+relin+rescale+rotate ~12.5ms).
+``vs_baseline`` divides by the WHOLE reference machine's estimated
+throughput on the same composite: 80 ops/s per Xeon 8480+ thread
+(SEAL-4.1 mult+relin+rescale+rotate ~12.5 ms at N=2^15) x 56 cores =
+4480 ops/s — one v5e chip vs the full 56-core box, not one thread
+(r3's single-thread denominator overstated progress by 56x; VERDICT r3
+weak #4).  The end-to-end Table-3 comparison lives in FLAGSHIP.json /
+BOOT_BENCH.json + BENCH_NOTES.md.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_OPS_S = 80.0      # SEAL-4.1 1-thread estimate, N=2^15 (see module doc)
-BATCH = 32                 # ciphertext columns per launch
+BASELINE_OPS_S = 80.0 * 56  # SEAL-4.1 estimate x 56 cores (see module doc)
+BATCH = 32                  # ciphertext columns per launch
 REPS = 3
 
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from moai_tpu.params import bench_config_n15, make_context
     from moai_tpu.encoder import Encoder

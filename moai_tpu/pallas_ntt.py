@@ -76,25 +76,54 @@ class PallasNttTables:
         L = len(qs)
         self.L = L
 
+        # The negacyclic psi twist and the 1/N untwist are SEPARABLE over
+        # the (j1, j2) tile: psi^(j1*n2+j2) = A[j1] * B[j2].  A folds into
+        # the (plain-residue) axis-1 DFT matrices, B into the (Montgomery)
+        # mid twiddle tiles — removing one full elementwise Montgomery
+        # multiply from each kernel (they are VPU-bound).
+        from .primes import inv_mod
         w1 = np.empty((L, NDIG, n1, n1), np.int8)
         w2 = np.empty((L, NDIG, n2, n2), np.int8)
         w1i = np.empty((L, NDIG, n1, n1), np.int8)
         w2i = np.empty((L, NDIG, n2, n2), np.int8)
+        mid = np.empty((L, n1, n2), np.uint32)
+        mid_inv_T = np.empty((L, n2, n1), np.uint32)
         for i, q in enumerate(qs):
-            omega = nt.psi[i] * nt.psi[i] % q
-            w1[i] = _host_balanced_digits(_dft_matrix(omega, n1, n2, q, False))
-            w2[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q, False))
-            w1i[i] = _host_balanced_digits(_dft_matrix(omega, n1, n2, q, True))
-            w2i[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q, True))
+            psi = int(nt.psi[i])
+            omega = psi * psi % q
+            j1 = np.arange(n1, dtype=object)
+            j2 = np.arange(n2, dtype=object)
+            A = np.array([pow(psi, int(j) * n2, q) for j in j1],
+                         dtype=np.uint64)                     # psi^(j1 n2)
+            B = np.array([pow(psi, int(j), q) for j in j2],
+                         dtype=np.uint64)                     # psi^j2
+            psi_inv = inv_mod(psi, q)
+            n_inv = inv_mod(N % q, q)
+            Ai = np.array([pow(psi_inv, int(j) * n2, q) * n_inv % q
+                           for j in j1], dtype=np.uint64)     # / N folded
+            Bi = np.array([pow(psi_inv, int(j), q) for j in j2],
+                          dtype=np.uint64)
+            m1 = _dft_matrix(omega, n1, n2, q, False).astype(np.uint64)
+            m1i = _dft_matrix(omega, n1, n2, q, True).astype(np.uint64)
+            # fwd: contract j1 (columns of W1) — fold A into columns;
+            # inv: output rows are j1 — fold Ai into rows
+            w1[i] = _host_balanced_digits((m1 * A[None, :] % q))
+            w2[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q,
+                                                      False))
+            w1i[i] = _host_balanced_digits((m1i * Ai[:, None] % q))
+            w2i[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q,
+                                                       True))
+            # mid tiles stay Montgomery; multiplying by a plain factor
+            # keeps the Montgomery form of the combined constant
+            mid[i] = (nt.w_mid[i].astype(np.uint64) * B[None, :] % q
+                      ).astype(np.uint32)
+            mid_inv_T[i] = (np.swapaxes(nt.w_mid_inv[i], -1, -2
+                                        ).astype(np.uint64)
+                            * Bi[:, None] % q).astype(np.uint32)
         self.w1_dig, self.w2_dig = w1, w2
         self.w1i_dig, self.w2i_dig = w1i, w2i
-
-        # tiles (Montgomery form, reuse NttTables arrays)
-        self.psi_tile = nt.psi_mont.reshape(L, n1, n2)
-        self.psiinv_n_tile = nt.psiinv_n_mont.reshape(L, n1, n2)
-        self.mid_tile = nt.w_mid                      # [L, n1, n2]
-        self.mid_inv_tile_T = np.ascontiguousarray(
-            np.swapaxes(nt.w_mid_inv, -1, -2))        # [L, n2, n1]
+        self.mid_tile = mid                           # [L, n1, n2]
+        self.mid_inv_tile_T = mid_inv_T               # [L, n2, n1]
 
         # bucket fold constants: 2^(8k)*R mod q (true multiply under REDC)
         # and a multiple-of-q offset making each int32 bucket non-negative.
@@ -117,8 +146,6 @@ class PallasNttTables:
             "w2_dig": jnp.asarray(self.w2_dig),
             "w1i_dig": jnp.asarray(self.w1i_dig),
             "w2i_dig": jnp.asarray(self.w2i_dig),
-            "psi_tile": jnp.asarray(self.psi_tile),
-            "psiinv_n_tile": jnp.asarray(self.psiinv_n_tile),
             "mid_tile": jnp.asarray(self.mid_tile),
             "mid_inv_tile_T": jnp.asarray(self.mid_inv_tile_T),
             # per-limb scalar tables as [L, 1, k] so SMEM blocks (1, 1, k)
@@ -206,7 +233,7 @@ def _k_mod_matmul(wd, xd, q, qneg, fold_mul, fold_off, cdim: int):
 # kernels — per grid cell: bt batch rows x 1 limb, VMEM-resident
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, w1_ref, w2_ref, psi_ref, mid_ref, fm_ref, fo_ref,
+def _fwd_kernel(x_ref, w1_ref, w2_ref, mid_ref, fm_ref, fo_ref,
                 q_ref, qneg_ref, out_ref, *, n1, n2, bt):
     q = q_ref[0, 0, 0]
     qneg = qneg_ref[0, 0, 0]
@@ -215,29 +242,29 @@ def _fwd_kernel(x_ref, w1_ref, w2_ref, psi_ref, mid_ref, fm_ref, fo_ref,
     fo = [fo_ref[0, 0, k] for k in range(nb)]
     # bt batch rows per grid cell, each processed as a 2D tile (Mosaic has
     # no 3D transpose; looping 2D slices keeps the MXU fed and amortizes
-    # the per-cell weight-tile residency)
+    # the per-cell weight-tile residency).  The psi twist is folded into
+    # W1/mid host-side (separable over the tile) — no twist multiply here.
     for b in range(bt):
         x = x_ref[b, 0]                                        # [n1, n2]
-        x = _k_mont_mul(x, psi_ref[0], q, qneg)
         a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, qneg, fm, fo, 0)
         a = _k_mont_mul(a, mid_ref[0], q, qneg)
         y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, qneg, fm, fo, 1)
         out_ref[b, 0] = y                                      # [n2, n1]
 
 
-def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, psiinv_ref, fm_ref,
+def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, fm_ref,
                 fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2, bt):
     q = q_ref[0, 0, 0]
     qneg = qneg_ref[0, 0, 0]
     nb = 2 * NDIG - 1
     fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
     fo = [fo_ref[0, 0, k] for k in range(nb)]
+    # psi^-1/N untwist folded into W1i/midinv host-side
     for b in range(bt):
         y = x_ref[b, 0]                                        # [n2, n1]
         t = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, 0)
         t = _k_mont_mul(t, midinv_ref[0], q, qneg)
         x = _k_mod_matmul(w1i_ref[0], _k_digits(t), q, qneg, fm, fo, 1)
-        x = _k_mont_mul(x, psiinv_ref[0], q, qneg)
         out_ref[b, 0] = x                                      # [n1, n2]
 
 
@@ -307,9 +334,9 @@ def ntt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
     bt = _batch_tile(x2.shape[0], n1, n2)
     fn = _call(functools.partial(_fwd_kernel, n1=n1, n2=n2, bt=bt),
                x2.shape[0], bt, Lact, lo,
-               [(NDIG, n1, n1), (NDIG, n2, n2), (n1, n2), (n1, n2)],
+               [(NDIG, n1, n1), (NDIG, n2, n2), (n1, n2)],
                (n1, n2), (n2, n1), interpret)
-    out = fn(x2, tbp["w1_dig"], tbp["w2_dig"], tbp["psi_tile"],
+    out = fn(x2, tbp["w1_dig"], tbp["w2_dig"],
              tbp["mid_tile"], tbp["fold_mul"], tbp["fold_off"],
              tbp["q"], tbp["qneg_inv"])
     return out.reshape(lead + (Lact, N))
@@ -326,9 +353,9 @@ def intt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
     bt = _batch_tile(x2.shape[0], n1, n2)
     fn = _call(functools.partial(_inv_kernel, n1=n1, n2=n2, bt=bt),
                x2.shape[0], bt, Lact, lo,
-               [(NDIG, n2, n2), (NDIG, n1, n1), (n2, n1), (n1, n2)],
+               [(NDIG, n2, n2), (NDIG, n1, n1), (n2, n1)],
                (n2, n1), (n1, n2), interpret)
     out = fn(x2, tbp["w2i_dig"], tbp["w1i_dig"], tbp["mid_inv_tile_T"],
-             tbp["psiinv_n_tile"], tbp["fold_mul"], tbp["fold_off"],
+             tbp["fold_mul"], tbp["fold_off"],
              tbp["q"], tbp["qneg_inv"])
     return out.reshape(lead + (Lact, N))

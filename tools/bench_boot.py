@@ -1,12 +1,19 @@
 """Bootstrap-at-scale bench: full pipeline at real slot counts.
 
-VERDICT r2 item 5: run the radix-factored bootstrap at logN 13-15
+VERDICT r3 item 2: run the radix-factored bootstrap at logN 13-15
 (n = 2^12..2^14 slots), measure wall seconds per ciphertext and decrypt
-error, to set against the reference's 95 s / 768 cts amortized
+error, to set against the reference's ~95 s / 768 cts amortized
 (BASELINE.md; reference pipeline: Bootstrapper.cpp:3231 bootstrap_full_3).
 
-Prints one JSON line: {"logN", "slots", "lt_group", "levels",
-"boot_s_per_ct", "batch", "max_err"}.
+Structure: stage-level jits (modraise, each CoeffToSlot level, EvalMod,
+each SlotToCoeff level) with keys AND the LT diagonal plaintexts as jit
+ARGUMENTS — a collection pass (jax.eval_shape, no device compute) records
+every diagonal plaintext in deterministic order, then each stage consumes
+its slice of the tape.  Keeps HLO bodies small for the remote compiler
+and makes stage compiles cacheable.
+
+Prints one JSON line with boot_s_per_ct, max_err, key count, compile and
+setup seconds.
 """
 
 from __future__ import annotations
@@ -14,7 +21,6 @@ from __future__ import annotations
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import _env  # noqa: F401,E402  (repo path + compile cache)
-
 
 import argparse
 import json
@@ -25,12 +31,16 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
+    from moai_tpu import mod_arith as ma
     from moai_tpu.params import CKKSConfig, make_context
     from moai_tpu.encoder import Encoder
-    from moai_tpu.keys import KeyGenerator
+    from moai_tpu.keys import KeyGenerator, KSwitchKey, GaloisKeys
     from moai_tpu.encrypt import Encryptor, Decryptor
     from moai_tpu.evaluator import Evaluator
+    from moai_tpu.ciphertext import Ciphertext, Plaintext
     from moai_tpu.boot.bootstrap import Bootstrapper
+    from moai_tpu.boot.linear import apply_diagonals, _encode_pt
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--logN", type=int, default=13)
@@ -71,15 +81,6 @@ def main():
     v = rng.uniform(-0.8, 0.8, (args.batch, ctx.cfg.slots))
     ct = encryptor.encrypt(encryptor.encode(v, n_q=ctx.n_q0))
 
-    # Stage-level jits with keys as ARGUMENTS: the whole-pipeline graph
-    # overwhelms remote compilers (and keys/plaintexts must stay out of
-    # the HLO body); each stage compiles small and the chain reproduces
-    # Bootstrapper._run exactly (same scale/level bookkeeping).
-    import numpy as _np
-    from moai_tpu import mod_arith as ma
-    from moai_tpu.keys import KSwitchKey, GaloisKeys
-    from moai_tpu.ciphertext import Ciphertext
-    from moai_tpu.boot.linear import apply_diagonals
     perms = ev.galois_keys.perms
     gal_data = {g: k.data for g, k in ev.galois_keys.keys.items()}
     relin_data = ev.relin_key.data
@@ -92,77 +93,124 @@ def main():
     def restore_keys():
         set_keys(gal_data, relin_data)
 
-    def mk(f):
-        jf = jax.jit(f)
+    # ---- LT plaintext tape: collect once (eval_shape), replay as args ----
+    class Tape:
+        def __init__(self):
+            self.mode = "collect"
+            self.items, self.meta = [], []
+            self.cursor = 0
+            self.replay = {}
 
-        def call(c):
-            out = jf(c, gal_data, relin_data)
-            restore_keys()
-            return out
-        return call
+        def source(self, vec, scale, n_q):
+            if self.mode == "collect":
+                with jax.ensure_compile_time_eval():
+                    pt = _encode_pt(ev, enc, vec, scale, n_q)
+                self.items.append(pt.data)
+                self.meta.append((float(scale), n_q))
+                return pt
+            i = self.cursor
+            self.cursor += 1
+            s_rec, nq_rec = self.meta[i]
+            assert nq_rec == n_q, (i, nq_rec, n_q)
+            return Plaintext(data=self.replay[i], scale=s_rec)
 
-    j_modraise = mk(lambda c, g, r: (set_keys(g, r), bt.modraise(c))[1])
-    j_c2s = [mk(lambda c, g, r, lev=lev:
-                (set_keys(g, r), apply_diagonals(ev, enc, c, lev))[1])
-             for lev in bt.c2s_levels]
+    tape = Tape()
 
-    def f_split_mod(c, g, r):
-        set_keys(g, r)
-        tc = ev.conjugate(c)
-        qv = ev.dev["q"][:c.n_q].reshape(-1, 1)
-        t_r = c.with_data(ma.add_mod(c.data, tc.data, qv))
-        t_i = bt.mul_i(c.with_data(ma.sub_mod(tc.data, c.data, qv)))
+    # ---- stage functions (unjitted; pts via the tape source) ------------
+    delta_in = ct.scale
+
+    def s_modraise(c):
+        return bt.modraise(c)
+
+    def mk_c2s(lev):
+        def f(c):
+            return apply_diagonals(ev, enc, c, lev, pt_source=tape.source)
+        return f
+
+    def s_evalmod(c):
+        t = ev.with_scale(c, bt.q0 * c.scale / delta_in,
+                          reason="ModRaise: slots hold m*Delta/q0 + I")
+        tc = ev.conjugate(t)
+        qv = ev.dev["q"][:t.n_q].reshape(-1, 1)
+        t_r = t.with_data(ma.add_mod(t.data, tc.data, qv))
+        t_i = bt.mul_i(t.with_data(ma.sub_mod(tc.data, t.data, qv)))
         y_r = bt.mr(ev, t_r, pre_scale=0.5)
         y_i = bt.mr(ev, t_i, pre_scale=0.5)
         return ev.add(y_r, bt.mul_i(y_i))
 
-    j_evalmod = mk(f_split_mod)
+    def mk_s2c(lev, last):
+        def f(c):
+            use = lev
+            if last:
+                alpha = ctx.scale * bt.q0 / (2 * np.pi * delta_in * c.scale)
+                use = {d: vv * alpha for d, vv in lev.items()}
+            out = apply_diagonals(ev, enc, c, use, pt_source=tape.source)
+            return ev.with_scale(out, ctx.scale,
+                                 reason="SlotToCoeff folded alpha") \
+                if last else out
+        return f
 
-    def mk_s2c(lev, alpha_fold):
-        def f(c, g, r):
-            set_keys(g, r)
-            use = {d: v * alpha_fold for d, v in lev.items()} \
-                if alpha_fold is not None else lev
-            return apply_diagonals(ev, enc, c, use)
-        return mk(f)
+    stages = [("modraise", s_modraise)]
+    for i, lev in enumerate(bt.c2s_levels):
+        stages.append((f"c2s{i}", mk_c2s(lev)))
+    stages.append(("evalmod", s_evalmod))
+    for i, lev in enumerate(bt.s2c_levels):
+        stages.append((f"s2c{i}", mk_s2c(lev, i == len(bt.s2c_levels) - 1)))
 
-    def pipeline(ct_in):
-        delta_in = ct_in.scale
-        z = j_modraise(ct_in)
-        for j in j_c2s:
-            z = j(z)
-        t = ev.with_scale(z, bt.q0 * z.scale / delta_in,
-                          reason="ModRaise: slots hold m*Delta/q0 + I")
-        w = j_evalmod(t)
-        alpha = ctx.scale * bt.q0 / (2 * _np.pi * delta_in * w.scale)
-        outc = w
-        for i, jf in enumerate(j_s2c_build(alpha)):
-            outc = jf(outc)
-        return ev.with_scale(outc, ctx.scale,
-                             reason="SlotToCoeff folded alpha into last LT")
+    # ---- collection pass: abstract trace, records pts + stage slices ----
+    bounds = []
+    meta_in = []            # (scale, n_q) of each stage's input
 
-    _s2c_cache = {}
+    def collect(d):
+        c = Ciphertext(d, delta_in, True)
+        for name, f in stages:
+            bounds.append(len(tape.items))
+            meta_in.append((c.scale, c.n_q))
+            c = f(c)
+        bounds.append(len(tape.items))
+        return c.data
 
-    def j_s2c_build(alpha):
-        key = round(float(alpha), 12)
-        if key not in _s2c_cache:
-            _s2c_cache[key] = [
-                mk_s2c(lev, alpha if i == len(bt.s2c_levels) - 1 else None)
-                for i, lev in enumerate(bt.s2c_levels)]
-        return _s2c_cache[key]
+    restore_keys()
+    jax.eval_shape(collect, jax.ShapeDtypeStruct(ct.data.shape, jnp.uint32))
+    tape.mode = "replay"
+    pts_all = tape.items
+
+    # ---- per-stage jits: (ct_data, pts_slice, gal, relin) ----------------
+    jitted = []
+    for si, (name, f) in enumerate(stages):
+        lo, hi = bounds[si], bounds[si + 1]
+        sc_in, _ = meta_in[si]
+
+        def run(d, pts, gal_, relin_, f=f, sc_in=sc_in, lo=lo):
+            set_keys(gal_, relin_)
+            tape.cursor = lo
+            tape.replay = {lo + i: p for i, p in enumerate(pts)}
+            return f(Ciphertext(d, sc_in, True)).data
+
+        jitted.append((name, jax.jit(run), pts_all[lo:hi]))
+
+    def pipeline(ct_in, verbose=False):
+        d = ct_in.data
+        for name, jf, pts in jitted:
+            t0 = time.perf_counter()
+            d = jf(d, pts, gal_data, relin_data)
+            restore_keys()
+            if verbose:
+                d.block_until_ready()
+                print(f"[boot] {name:<10} {time.perf_counter()-t0:7.2f} s",
+                      flush=True)
+        return Ciphertext(d, ctx.scale, True)
 
     t0 = time.perf_counter()
-    outc = pipeline(ct)
+    outc = pipeline(ct, verbose=True)
     outc.data.block_until_ready()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     outc = pipeline(ct)
     outc.data.block_until_ready()
     run_s = time.perf_counter() - t0
-    out_d = outc.data
 
-    out = type(ct)(out_d, ctx.scale, True)
-    got = decryptor.decrypt(out)
+    got = decryptor.decrypt(outc)
     err = float(np.max(np.abs(got.real - v)))
 
     print(json.dumps({
@@ -170,13 +218,14 @@ def main():
         "logN": args.logN, "slots": ctx.cfg.slots,
         "lt_group": args.group, "boot_levels": bt.levels,
         "galois_keys": len(steps) + 1, "L": ctx.L,
+        "lt_plaintexts": len(pts_all),
         "batch": args.batch,
         "boot_s_per_ct": round(run_s / args.batch, 3),
         "batch_s": round(run_s, 3),
         "compile_s": round(compile_s, 1),
         "setup_s": round(setup_s, 1),
         "max_err": err,
-        "out_n_q": out.n_q,
+        "out_n_q": outc.n_q,
     }))
 
 

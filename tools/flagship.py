@@ -229,8 +229,12 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
 
             jf_mm = jax.jit(f_mm)
             jf_fin = jax.jit(f_fin)
-            # compile
+            # compile BOTH accumulator variants (acc=None vs acc=array is a
+            # different pytree -> different executable; an unwarmed variant
+            # would compile inside the timing loop)
             acc = jf_mm(x_chunk.data, wd[0], None)
+            if nj > 1:
+                acc = jf_mm(x_chunk.data, wd[0], acc)
             out = jf_fin(acc, mask_pt.data)
             block(out)
             t0 = time.perf_counter()
@@ -483,8 +487,13 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
 
         jf_wi = jax.jit(f_wi)
         jf_gw = jax.jit(f_gelu_wf)
+        # warm BOTH accumulator variants of each fn (see qkv note)
         acc = jf_wi(x_chunk.data, wi_d[0], None)
+        if nj > 1:
+            acc = jf_wi(x_chunk.data, wi_d[0], acc)
         out = jf_gw(acc, wf_d[0], None, keys)
+        if n_ic > 1:
+            out = jf_gw(acc, wf_d[0], out, keys)
         unbind()
         block(out)
         del acc, out
