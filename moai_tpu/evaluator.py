@@ -482,7 +482,12 @@ class Evaluator:
             c0 = jnp.take(a.data[..., 0, :, :], p, axis=-1)  # [..., n_q, R, N]
             c0 = jnp.moveaxis(c0, -2, 0)
             q = self._q(n_q)
-            outs.append(jnp.stack([ma.add_mod(c0, d0, q), d1], axis=-3))
+            out_c = jnp.stack([ma.add_mod(c0, d0, q), d1], axis=-3)
+            if chunk < len(steps):
+                # sequence rotation chunks (ma.seq in mod_arith: XLA would
+                # otherwise schedule every chunk's MAC temps concurrently)
+                out_c, y = ma.seq(out_c, y)
+            outs.append(out_c)
         return self._dbg("rotate_hoisted", Ciphertext(
             jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0],
             a.scale, True))

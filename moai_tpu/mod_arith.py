@@ -109,6 +109,23 @@ def from_mont(x, q, qneg_inv):
     return mont_redc(jnp.zeros_like(x, dtype=U32), x.astype(U32), q, qneg_inv)
 
 
+def seq(*trees):
+    """Force SEQUENTIAL scheduling of chunked accumulation loops.
+
+    XLA's TPU scheduler freely reorders independent subgraphs for
+    parallelism; a Python loop of independent chunk computations folded
+    into an accumulator therefore materializes EVERY chunk's temporaries
+    at once (observed: a 102 GB schedule for a 7-bucket modular matmul on
+    a 16 GB chip).  Threading the accumulator AND the shared inputs
+    through an optimization_barrier after each chunk makes iteration k+1
+    data-depend on iteration k, restoring the loop's memory profile.
+    Returns the trees unchanged (identity at runtime).
+    """
+    import jax
+    out = jax.lax.optimization_barrier(trees)
+    return out if len(trees) > 1 else out[0]
+
+
 def add_mod(a, b, q):
     s = a + b                                     # < 2^31, no wrap
     return jnp.where(s >= q, s - q, s)

@@ -110,4 +110,7 @@ def mod_matmul(x, w_digits, bucket_mul, bucket_off, q, qneg):
         u = (part.astype(jnp.uint32) + off)
         fold = ma.mont_mul(u, bucket_mul[k].reshape(-1, 1), q4, qneg4)
         acc = fold if acc is None else ma.add_mod(acc, fold, q4)
+        # sequence the buckets: without this barrier XLA schedules all
+        # bucket einsums concurrently (k x 1.5 GB int32 temps at n15 dims)
+        acc, xd = ma.seq(acc, xd)
     return acc

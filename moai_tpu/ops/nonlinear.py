@@ -345,13 +345,15 @@ def layernorm(ev: Evaluator, x: Ciphertext, gamma: np.ndarray,
 
     def d_cols(lo, hi):
         """chunk of C*x_j - u (no level: integer doubling + free sums)."""
-        nx = ev.mul_int(x.with_data(x.data[lo:hi]), C)
+        nx = ev.mul_int(x.with_data(xd[lo:hi]), C)
         return x.with_data(ma.sub_mod(nx.data, u[None], q))
 
+    xd = x.data
     u = None
     for lo in range(0, C, cc):                             # pass 1: sum x
-        s = _sum_leading(x.data[lo:lo + cc], q)
+        s = _sum_leading(xd[lo:lo + cc], q)
         u = s if u is None else ma.add_mod(u, s, q)
+        u, xd = ma.seq(u, xd)                # sequence chunks (ma.seq doc)
     # pass 2: S = sum_j (C x_j - u)^2.  The 3-poly squares are summed over
     # the column axis BEFORE relinearizing, so the whole variance costs ONE
     # key-switch (the reference relinearizes per blocked product,
@@ -361,6 +363,7 @@ def layernorm(ev: Evaluator, x: Ciphertext, gamma: np.ndarray,
         sq = ev.square(d_cols(lo, min(lo + cc, C)))        # [c, 3, L, N]
         s = _sum_leading(sq.data, q)
         S3 = s if S3 is None else ma.add_mod(S3, s, q)
+        S3, xd = ma.seq(S3, xd)
     S = ev.rescale_pair(ev.relinearize(
         Ciphertext(S3, x.scale * x.scale, True)))
     lo_d, hi_d = var_domain
@@ -386,7 +389,8 @@ def layernorm(ev: Evaluator, x: Ciphertext, gamma: np.ndarray,
         o = ev.rescale_pair(ev.mul_const_vec(prod, gscale[lo:hi],
                                              prod.scale))
         o = ev.add_const_vec(o, beta[lo:hi])
-        outs.append(o.data)
+        od, xd = ma.seq(o.data, xd)
+        outs.append(od)
         out_scale = (o.scale, o.is_ntt)
     data = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return Ciphertext(data, out_scale[0], out_scale[1])
@@ -443,6 +447,21 @@ def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
     ``sum_scale`` normalizes the exp-sum into (0, 2) for the inverse;
     defaults to num_row (max possible sum of exp(x-max) <= 1 terms).
     """
+    e, s = softmax_exp_sum(ev, encoder, x, masks, max_val,
+                           sum_scale=sum_scale, eps=eps, exp_r=exp_r,
+                           pts=pts)
+    s = refresh(s)
+    return softmax_finish(ev, e, s, inv_iters=inv_iters, out_n_q=out_n_q)
+
+
+def softmax_exp_sum(ev: Evaluator, encoder: Encoder, x: Ciphertext,
+                    masks: np.ndarray, max_val: float,
+                    sum_scale: float | None = None, eps: float = 1e-5,
+                    exp_r: int = 7, pts=None
+                    ) -> tuple[Ciphertext, Ciphertext]:
+    """Softmax phase 1: (x - max) -> exp -> mask/sum_scale -> column sum
+    + eps.  Returns (e, s); ``s`` is the single sum ciphertext the caller
+    refreshes (bootstraps) before softmax_finish."""
     R = masks.shape[0]
     if sum_scale is None:
         sum_scale = float(R)
@@ -457,7 +476,14 @@ def softmax_diag(ev: Evaluator, encoder: Encoder, x: Ciphertext,
     s = Ciphertext(_sum_leading(e.data, ev.dev["q"][:e.n_q].reshape(-1, 1)),
                    e.scale, True)
     s = ev.add_const(s, eps / sum_scale)
-    s = refresh(s)
+    return e, s
+
+
+def softmax_finish(ev: Evaluator, e: Ciphertext, s: Ciphertext,
+                   inv_iters: int = 16, out_n_q: int | None = None
+                   ) -> Ciphertext:
+    """Softmax phase 2: Goldschmidt inverse of the (refreshed) sum, then
+    the final exp * inv multiply."""
     inv = inverse_goldschmidt(ev, s, inv_iters)
     en, invn = ev.align(e, inv)
     out = ev.mul_relin_rescale(

@@ -36,6 +36,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import _env  # noqa: F401,E402  (repo path + compile cache)
 
 import argparse
+import functools
 import gc
 import json
 import time
@@ -112,21 +113,26 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     def lv(k):     # composite level k above q0 -> prime count
         return min(L, q0 + 2 * k)
 
-    # ---- keygen once; keys live on HOST between stages ------------------
+    # ---- keygen once; keys stay DEVICE-resident at full L ---------------
+    # (the whole key set is ~1.3 GB at n15 — far cheaper to keep on-chip
+    # than to re-upload sliced copies per stage over the tunnel; per-stage
+    # slicing matters only at N=2^16 where a key is ~270 MB, see
+    # tools/flagship_n16.py)
     t0 = time.perf_counter()
     kg = KeyGenerator(ctx, seed=11)
     steps = sorted(set(ccmm_col_steps(dims.num_x, dims.num_row)
                        + ccmm_diag_steps(dims.num_x, dims.num_row)))
     gks_dev = kg.gen_galois_keys(steps=steps)
-    host_gal = {g: np.asarray(k.data) for g, k in gks_dev.keys.items()}
+    dev_gal = {g: k.data for g, k in gks_dev.keys.items()}
     perms = gks_dev.perms
-    host_relin = np.asarray(kg.gen_relin_key().data)
+    dev_relin = kg.gen_relin_key().data
+    jax.block_until_ready(dev_relin)
     del gks_dev, kg
     gc.collect()
     setup_s = time.perf_counter() - t0
     if verbose:
-        print(f"[moai] setup (keygen -> host)    {setup_s:8.1f} s "
-              f"({len(host_gal)} galois keys)", flush=True)
+        print(f"[moai] setup (keygen)            {setup_s:8.1f} s "
+              f"({len(dev_gal)} galois keys)", flush=True)
 
     ev = Evaluator(ctx)
     rng = np.random.default_rng(3)
@@ -134,33 +140,38 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     mask = bias_vec(lens, dims.num_x, dims.num_row, ctx.cfg.slots)
     masks = diag_valid_masks(lens, dims.num_x, dims.num_row, ctx.cfg.slots)
 
+    q_dev = ev.dev["q"]
+    _fake_seed = [0]
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _fake(seed, ncols, n_q):
+        bits = jax.random.bits(jax.random.PRNGKey(seed),
+                               (ncols, 2, n_q, N), dtype=jnp.uint32)
+        return bits % q_dev[:n_q].reshape(-1, 1)
+
     def fake_ct(ncols, n_q):
         """Uniform residue tensor shaped like a ciphertext batch (valid
-        Montgomery representatives; kernels are data-oblivious)."""
-        qs = np.asarray(ctx.q_primes[:n_q], np.uint64)
-        d = (rng.integers(0, 1 << 62, (ncols, 2, n_q, N), dtype=np.uint64)
-             % qs[None, None, :, None]).astype(np.uint32)
-        return Ciphertext(jnp.asarray(d), scale, True)
+        Montgomery representatives; kernels are data-oblivious).  Generated
+        ON DEVICE — multi-GB host uploads over the tunneled TPU dominated
+        the wall clock otherwise."""
+        _fake_seed[0] += 1
+        return Ciphertext(_fake(_fake_seed[0], ncols, n_q), scale, True)
 
     def upload_keys(n_q, galois=False, relin=True):
-        """Per-stage key pytree, sliced to the stage level."""
+        """Per-stage key pytree (device-resident, full L)."""
         out = {}
         if relin:
-            out["relin"] = slice_kswitch(
-                KSwitchKey(jnp.asarray(host_relin)), n_q, L).data
+            out["relin"] = dev_relin
         if galois:
-            out["gal"] = {
-                g: slice_kswitch(KSwitchKey(jnp.asarray(d)), n_q, L).data
-                for g, d in host_gal.items()}
+            out["gal"] = dev_gal
         return out
 
     def bind_keys(keys, n_q):
         if "relin" in keys:
-            ev.relin_key = KSwitchKey(keys["relin"], q_limbs=n_q)
+            ev.relin_key = KSwitchKey(keys["relin"])
         if "gal" in keys:
             ev.galois_keys = GaloisKeys(
-                {g: KSwitchKey(d, q_limbs=n_q)
-                 for g, d in keys["gal"].items()}, perms)
+                {g: KSwitchKey(d) for g, d in keys["gal"].items()}, perms)
 
     def unbind():
         ev.relin_key = None
