@@ -191,52 +191,72 @@ def ccmm_col_to_diag(ev: Evaluator, x: Ciphertext, w: Ciphertext,
     """
     assert x.n_q == w.n_q, \
         f"ccmm_col_to_diag level mismatch: X at n_q={x.n_q}, W at n_q={w.n_q}"
-    m = num_row
     C = x.data.shape[0]
-    g, b = _bsgs_split(m)
-    q = ev.dev["q"][:x.n_q].reshape(-1, 1)
-    qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
     if col_chunk is None:
         col_chunk = C
-    rot_chunk = 4 if col_chunk < C else None   # bound hoisted-MAC residency
     acc = None                      # [b, g, 3, L, N] group partial products
     for lo in range(0, C, col_chunk):
         hi = min(lo + col_chunk, C)
-        xc = x.with_data(x.data[lo:hi])
-        wc = w.with_data(w.data[lo:hi])
-        wb_rot = ev.rotate_hoisted(wc, [s * num_x for s in range(1, g)],
-                                   chunk=rot_chunk) if g > 1 else None
-        wb = jnp.concatenate([wc.data[None], wb_rot.data]) \
-            if wb_rot is not None else wc.data[None]       # [g, c, 2, L, N]
-        xg_rot = ev.rotate_hoisted(xc, [-gi * g * num_x
-                                        for gi in range(1, b)],
-                                   chunk=rot_chunk) if b > 1 else None
-        xg = jnp.concatenate([xc.data[None], xg_rot.data]) \
-            if xg_rot is not None else xc.data[None]       # [b, c, 2, L, N]
-        # per giant group: [g, c, 3, L, N] transient, summed over c — the
-        # full [b, g, c, 3, L, N] product would be ~25 GB at d=768 scale
-        parts = []
-        w0 = wb[..., 0, :, :]                              # [g, c, L, N]
-        w1 = wb[..., 1, :, :]
-        for bi in range(b):
-            x0 = xg[bi, None, :, 0, :, :]                  # [1, c, L, N]
-            x1 = xg[bi, None, :, 1, :, :]
-            c0 = ma.mont_mul(x0, w0, q, qneg)
-            c1 = ma.add_mod(ma.mont_mul(x0, w1, q, qneg),
-                            ma.mont_mul(x1, w0, q, qneg), q)
-            c2 = ma.mont_mul(x1, w1, q, qneg)
-            prod = jnp.stack([c0, c1, c2], axis=-3)        # [g, c, 3, L, N]
-            p_sum = _sum_axis(prod, 1, q)                  # [g, 3, L, N]
-            # sequence the giant groups (ma.seq doc): concurrent [g, c,
-            # 3, L, N] products across all b groups would be ~25 GB
-            p_sum, wb, xg = ma.seq(p_sum, wb, xg)
-            parts.append(p_sum)
-        part = jnp.stack(parts)                            # [b, g, 3, L, N]
+        part = ccmm_col_to_diag_partial(
+            ev, x.with_data(x.data[lo:hi]), w.with_data(w.data[lo:hi]),
+            num_x, num_row)
+        q = ev.dev["q"][:x.n_q].reshape(-1, 1)
         acc = part if acc is None else ma.add_mod(acc, part, q)
         if col_chunk < C:
             acc, xdat, wdat = ma.seq(acc, x.data, w.data)
             x, w = x.with_data(xdat), w.with_data(wdat)
-    rel = ev.relinearize(Ciphertext(acc, x.scale * w.scale, True))
+    return ccmm_col_to_diag_finish(ev, acc, x.scale * w.scale, num_x,
+                                   num_row)
+
+
+def ccmm_col_to_diag_partial(ev: Evaluator, x: Ciphertext, w: Ciphertext,
+                             num_x: int, num_row: int) -> jnp.ndarray:
+    """One column-chunk's double-BSGS partial products: [b, g, 3, L, N]
+    (3-poly, pre-relinearization).  Chunks ADD: callers accumulate with
+    add_mod and finish with ccmm_col_to_diag_finish — drivers jit each
+    chunk separately to keep compile units small."""
+    m = num_row
+    g, b = _bsgs_split(m)
+    q = ev.dev["q"][:x.n_q].reshape(-1, 1)
+    qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
+    rot_chunk = 4
+    wb_rot = ev.rotate_hoisted(w, [s * num_x for s in range(1, g)],
+                               chunk=rot_chunk) if g > 1 else None
+    wb = jnp.concatenate([w.data[None], wb_rot.data]) \
+        if wb_rot is not None else w.data[None]        # [g, c, 2, L, N]
+    xg_rot = ev.rotate_hoisted(x, [-gi * g * num_x
+                                   for gi in range(1, b)],
+                               chunk=rot_chunk) if b > 1 else None
+    xg = jnp.concatenate([x.data[None], xg_rot.data]) \
+        if xg_rot is not None else x.data[None]        # [b, c, 2, L, N]
+    # per giant group: [g, c, 3, L, N] transient, summed over c — the
+    # full [b, g, c, 3, L, N] product would be ~25 GB at d=768 scale
+    parts = []
+    w0 = wb[..., 0, :, :]                              # [g, c, L, N]
+    w1 = wb[..., 1, :, :]
+    for bi in range(b):
+        x0 = xg[bi, None, :, 0, :, :]                  # [1, c, L, N]
+        x1 = xg[bi, None, :, 1, :, :]
+        c0 = ma.mont_mul(x0, w0, q, qneg)
+        c1 = ma.add_mod(ma.mont_mul(x0, w1, q, qneg),
+                        ma.mont_mul(x1, w0, q, qneg), q)
+        c2 = ma.mont_mul(x1, w1, q, qneg)
+        prod = jnp.stack([c0, c1, c2], axis=-3)        # [g, c, 3, L, N]
+        p_sum = _sum_axis(prod, 1, q)                  # [g, 3, L, N]
+        # sequence the giant groups (ma.seq doc): concurrent [g, c,
+        # 3, L, N] products across all b groups would be ~25 GB
+        p_sum, wb, xg = ma.seq(p_sum, wb, xg)
+        parts.append(p_sum)
+    return jnp.stack(parts)                            # [b, g, 3, L, N]
+
+
+def ccmm_col_to_diag_finish(ev: Evaluator, acc, prod_scale: float,
+                            num_x: int, num_row: int) -> Ciphertext:
+    """Relinearize the accumulated [b, g, 3, L, N] groups, apply the giant
+    output rotations, interleave diagonals, rescale."""
+    m = num_row
+    g, b = _bsgs_split(m)
+    rel = ev.relinearize(Ciphertext(acc, prod_scale, True))
     diags = [None] * m
     for bi in range(b):
         ng = min(g, m - bi * g)

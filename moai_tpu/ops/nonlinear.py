@@ -62,14 +62,29 @@ def exp_taylor(ev: Evaluator, x: Ciphertext, r: int = 7) -> Ciphertext:
     return y
 
 
-def inverse_goldschmidt(ev: Evaluator, x: Ciphertext, iters: int = 16
-                        ) -> Ciphertext:
+def inverse_goldschmidt(ev: Evaluator, x: Ciphertext, iters: int = 16,
+                        reland_every: int = 0) -> Ciphertext:
     """1/x for x in (0, 2): y = 1-x; 1/x = prod_{i=0..iters} (1 + y^(2^i)).
-    iters+1 composite levels (reference: inverse, softmax.hpp:49-82)."""
+    iters+1 composite levels (reference: inverse, softmax.hpp:49-82).
+
+    SCALE-DRIFT WARNING: composite-pair rescaling drifts the scale ~2^-12
+    per level and a squaring DOUBLES the accumulated log-drift, so a long
+    squaring chain grows its true scale exponentially (measured: x57
+    after 11 unrelanded squarings).  The static metadata tracks the drift
+    EXACTLY — results stay correct — but callers must keep m*scale inside
+    the remaining modulus: never let a deep-iters output descend to the
+    bottom q0 level (leave >= one composite level), or set
+    ``reland_every=k`` to re-land y and res at the input scale every k
+    squarings at the cost of one EXTRA level each (depth becomes
+    iters + 1 + floor((iters-1)/k))."""
+    tgt = x.scale
     y = ev.add_const(ev.negate(x), 1.0)
     res = ev.add_const(y, 1.0)
-    for _ in range(iters):
+    for i in range(iters):
         y = ev.square_rescale(y)
+        if reland_every and (i + 1) % reland_every == 0 and i + 1 < iters:
+            y = ev.match_scale(y, tgt)
+            res = ev.match_scale(res, tgt)
         res = ev.mul_relin_rescale(res, ev.add_const(y, 1.0))
     return res
 

@@ -269,28 +269,54 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     # QK^T CCMM per head (14->13): double-BSGS col->diag, all heads
     # =====================================================================
     if want("qkt_ccmm"):
+        from moai_tpu.ops.matmul import (ccmm_col_to_diag_partial,
+                                         ccmm_col_to_diag_finish)
         n_qk = lv(14)
         keys = upload_keys(n_qk, galois=True)
-        qh, kh = fake_ct(hd, n_qk), fake_ct(hd, n_qk)
+        cc = p["ccmm_col_chunk"]
+        qh, kh = fake_ct(cc, n_qk), fake_ct(cc, n_qk)
+        n_chunks = -(-hd // cc)
 
-        def f_qkt(qd, kd, ks):
+        # per-chunk jits: ONE monolithic head graph took >20 min to
+        # compile; the chunk partial + finish compile in minutes and the
+        # python loop replays them (same math: partials ADD)
+        def f_part(qd, kd, ks):
             bind_keys(ks, n_qk)
-            return ccmm_col_to_diag(ev, Ciphertext(qd, scale, True),
-                                    Ciphertext(kd, scale, True),
-                                    dims.num_x, dims.num_row,
-                                    col_chunk=p["ccmm_col_chunk"]).data
+            return ccmm_col_to_diag_partial(
+                ev, Ciphertext(qd, scale, True),
+                Ciphertext(kd, scale, True), dims.num_x, dims.num_row)
 
-        jf = jax.jit(f_qkt)
-        out = jf(qh.data, kh.data, keys)
+        def f_acc(acc, part):
+            return ma.add_mod(acc, part,
+                              ev.dev["q"][:n_qk].reshape(-1, 1))
+
+        def f_fin(acc, ks):
+            bind_keys(ks, n_qk)
+            return ccmm_col_to_diag_finish(
+                ev, acc, scale * scale, dims.num_x, dims.num_row).data
+
+        jf_part = jax.jit(f_part)
+        jf_acc = jax.jit(f_acc)
+        jf_fin = jax.jit(f_fin)
+        acc = jf_part(qh.data, kh.data, keys)
+        unbind()
+        acc = jf_acc(acc, acc)
+        out = jf_fin(acc, keys)
         unbind()
         block(out)
+        del acc, out
         t0 = time.perf_counter()
         for _ in range(H):
-            out = jf(qh.data, kh.data, keys)
+            acc = None
+            for _c in range(n_chunks):
+                part = jf_part(qh.data, kh.data, keys)
+                acc = part if acc is None else jf_acc(acc, part)
+            out = jf_fin(acc, keys)
         block(out)
         unbind()
-        record("qkt_ccmm", time.perf_counter() - t0, f"({H} heads)")
-        del qh, kh, keys, out
+        record("qkt_ccmm", time.perf_counter() - t0,
+               f"({H} heads x {n_chunks} chunks)")
+        del qh, kh, keys, out, acc, part
         gc.collect()
 
     # =====================================================================
