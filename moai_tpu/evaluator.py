@@ -307,20 +307,27 @@ class Evaluator:
     def _ks_mac_moddown(self, y, key_rows, n_q: int):
         """MAC the decomposition ``y`` [..., D, n_t, N] against key rows
         [..., D, 2, n_t, N] and mod-down by P -> (d0, d1) each [..., n_q, N].
-        Leading batch axes broadcast (stacked rotation keys included)."""
+        Leading batch axes broadcast (stacked rotation keys included).
+
+        Digit-looped with sequencing barriers: ONE digit's [batch, n_t, N]
+        products are live at a time (materializing all D digits for both
+        key rows peaked at ~4.5 GB for a 132-ciphertext batched
+        relinearization at N=2^15)."""
         dv = self.dev
         L = self.ctx.L
         q_all, qneg_all = dv["q"], dv["qneg_inv"]
         qt = jnp.concatenate([q_all[:n_q], q_all[L:]]).reshape(-1, 1)
         qnegt = jnp.concatenate([qneg_all[:n_q], qneg_all[L:]]).reshape(-1, 1)
-        t0 = ma.mont_mul(y, key_rows[..., 0, :, :], qt, qnegt)
-        t1 = ma.mont_mul(y, key_rows[..., 1, :, :], qt, qnegt)
         D = y.shape[-3]
-        acc0 = t0[..., 0, :, :]
-        acc1 = t1[..., 0, :, :]
-        for d in range(1, D):
-            acc0 = ma.add_mod(acc0, t0[..., d, :, :], qt)
-            acc1 = ma.add_mod(acc1, t1[..., d, :, :], qt)
+        acc0 = acc1 = None
+        for d in range(D):
+            yd = y[..., d, :, :]
+            t0 = ma.mont_mul(yd, key_rows[..., d, 0, :, :], qt, qnegt)
+            t1 = ma.mont_mul(yd, key_rows[..., d, 1, :, :], qt, qnegt)
+            acc0 = t0 if acc0 is None else ma.add_mod(acc0, t0, qt)
+            acc1 = t1 if acc1 is None else ma.add_mod(acc1, t1, qt)
+            if D > 1 and d + 1 < D:
+                acc0, acc1, y = ma.seq(acc0, acc1, y)
         return (self._mod_down_p(acc0, n_q), self._mod_down_p(acc1, n_q))
 
     def _switch_key(self, poly_ntt, key: KSwitchKey, n_q: int):

@@ -258,11 +258,16 @@ def ccmm_col_to_diag_finish(ev: Evaluator, acc, prod_scale: float,
     g, b = _bsgs_split(m)
     rel = ev.relinearize(Ciphertext(acc, prod_scale, True))
     diags = [None] * m
+    rel_d = rel.data
     for bi in range(b):
         ng = min(g, m - bi * g)
-        grp = Ciphertext(rel.data[bi, :ng], rel.scale, True)
+        grp = Ciphertext(rel_d[bi, :ng], rel.scale, True)
         if bi:
             grp = ev.rotate(grp, g * bi * num_x)           # giant output rot
+            # sequence the giant rotations (ma.seq doc): all b-1 key
+            # switches would otherwise schedule concurrently
+            gd, rel_d = ma.seq(grp.data, rel_d)
+            grp = grp.with_data(gd)
         for s in range(ng):
             diags[bi * g + s] = grp.data[s]
     out = Ciphertext(jnp.stack(diags), rel.scale, True)
