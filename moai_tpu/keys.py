@@ -126,6 +126,21 @@ class KeyGenerator:
         self.tbd = ctx.device()["ntt"]
         self._ntt_all = jax.jit(lambda x: ntt(x, self.tbd))
         self._ntt_q = jax.jit(lambda x: ntt(x, self.tbd, limb_slice=(0, ctx.L)))
+
+        # one fused dispatch per key-switch digit (b = -(a s) + e + fac*t);
+        # the eager op-by-op form cost ~5 tunnel round-trips per digit and
+        # dominated keygen wall time on the remote TPU
+        q = jnp.asarray(ctx.ntt.q).reshape(-1, 1)
+        qneg = jnp.asarray(ctx.ntt.qneg_inv).reshape(-1, 1)
+
+        def _digit(a, e_coeff_mont, target_ntt, facj, s_ntt):
+            e_ntt = ntt(e_coeff_mont, self.tbd)
+            b = ma.add_mod(ma.neg_mod(
+                ma.mont_mul(a, s_ntt, q, qneg), q), e_ntt, q)
+            b = ma.add_mod(b, ma.mont_mul(target_ntt, facj, q, qneg), q)
+            return jnp.stack([b, a])
+
+        self._digit_jit = jax.jit(_digit)
         self.sk = self._gen_secret()
 
     # -- samplers (host) --------------------------------------------------
@@ -201,11 +216,9 @@ class KeyGenerator:
             facj = jnp.asarray(fac).reshape(-1, 1)
             a = jnp.asarray(self._uniform_ntt(0, nall))
             e = _residues(self._gauss(), ctx.all_primes)
-            e_ntt = self._ntt_all(jnp.asarray(_to_mont_host(e, ctx.all_primes)))
-            b = ma.add_mod(ma.neg_mod(
-                ma.mont_mul(a, self.sk.s_ntt, q, qneg), q), e_ntt, q)
-            b = ma.add_mod(b, ma.mont_mul(target_ntt, facj, q, qneg), q)
-            keys.append(jnp.stack([b, a]))
+            keys.append(self._digit_jit(
+                a, jnp.asarray(_to_mont_host(e, ctx.all_primes)),
+                target_ntt, facj, self.sk.s_ntt))
         return KSwitchKey(data=jnp.stack(keys))
 
     def gen_relin_key(self) -> KSwitchKey:
