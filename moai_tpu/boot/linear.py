@@ -105,11 +105,23 @@ def apply_diagonals(ev: Evaluator, encoder: Encoder, ct: Ciphertext,
     return ev.rescale_pair(total)
 
 
+def _pt_ntt(ev, mont, n_q):
+    """Jitted plaintext NTT (one executable per n_q): the eager 4-step
+    is ~40 separate device dispatches — minutes per LT collection on the
+    tunneled TPU."""
+    import jax
+    cache = ev.__dict__.setdefault("_pt_ntt_jits", {})
+    fn = cache.get(n_q)
+    if fn is None:
+        fn = jax.jit(lambda x: ntt(x, ev.tbd, limb_slice=(0, n_q)))
+        cache[n_q] = fn
+    return fn(mont)
+
+
 def _encode_pt(ev, encoder, vec, scale, n_q):
     res = encoder.encode(vec, scale=scale, n_q=n_q)
     mont = _to_mont_host(res, ev.ctx.q_primes[:n_q])
-    return Plaintext(data=ntt(jnp.asarray(mont), ev.tbd,
-                              limb_slice=(0, n_q)), scale=scale)
+    return Plaintext(data=_pt_ntt(ev, jnp.asarray(mont), n_q), scale=scale)
 
 
 # --------------------------------------------------------------------------

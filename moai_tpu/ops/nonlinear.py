@@ -40,11 +40,12 @@ from ..ntt import ntt
 
 def encode_plain(ev: Evaluator, encoder: Encoder, vals, scale: float,
                  n_q: int) -> Plaintext:
-    """Host-encode slot values -> NTT+Montgomery Plaintext at (scale, n_q)."""
+    """Host-encode slot values -> NTT+Montgomery Plaintext at (scale, n_q).
+    The device NTT runs as ONE jitted dispatch (boot.linear._pt_ntt)."""
+    from ..boot.linear import _pt_ntt
     res = encoder.encode(vals, scale=scale, n_q=n_q)
     mont = _to_mont_host(res, ev.ctx.q_primes[:n_q])
-    return Plaintext(data=ntt(jnp.asarray(mont), ev.tbd, limb_slice=(0, n_q)),
-                     scale=scale)
+    return Plaintext(data=_pt_ntt(ev, jnp.asarray(mont), n_q), scale=scale)
 
 
 # --------------------------------------------------------------------------
