@@ -116,90 +116,106 @@ def main():
 
     tape = Tape()
 
-    # ---- stage functions (unjitted; pts via the tape source) ------------
+    # ---- stage functions over ciphertext-LIST state ---------------------
+    # (unjitted; pts via the tape source).  EvalMod is split into three
+    # stages — the monolithic conj + 2x ModReducer graph was SIGKILLed by
+    # the remote compiler (compile-helper OOM) at logN=13.
     delta_in = ct.scale
 
-    def s_modraise(c):
-        return bt.modraise(c)
+    def s_modraise(state):
+        return [bt.modraise(state[0])]
 
     def mk_c2s(lev):
-        def f(c):
-            return apply_diagonals(ev, enc, c, lev, pt_source=tape.source)
+        def f(state):
+            return [apply_diagonals(ev, enc, state[0], lev,
+                                    pt_source=tape.source)]
         return f
 
-    def s_evalmod(c):
+    def s_em_split(state):
+        (c,) = state
         t = ev.with_scale(c, bt.q0 * c.scale / delta_in,
                           reason="ModRaise: slots hold m*Delta/q0 + I")
         tc = ev.conjugate(t)
         qv = ev.dev["q"][:t.n_q].reshape(-1, 1)
         t_r = t.with_data(ma.add_mod(t.data, tc.data, qv))
         t_i = bt.mul_i(t.with_data(ma.sub_mod(tc.data, t.data, qv)))
-        y_r = bt.mr(ev, t_r, pre_scale=0.5)
+        return [t_r, t_i]
+
+    def s_em_real(state):
+        t_r, t_i = state
+        return [bt.mr(ev, t_r, pre_scale=0.5), t_i]
+
+    def s_em_imag(state):
+        y_r, t_i = state
         y_i = bt.mr(ev, t_i, pre_scale=0.5)
-        return ev.add(y_r, bt.mul_i(y_i))
+        return [ev.add(y_r, bt.mul_i(y_i))]
 
     def mk_s2c(lev, last):
-        def f(c):
+        def f(state):
+            c = state[0]
             use = lev
             if last:
                 alpha = ctx.scale * bt.q0 / (2 * np.pi * delta_in * c.scale)
                 use = {d: vv * alpha for d, vv in lev.items()}
             out = apply_diagonals(ev, enc, c, use, pt_source=tape.source)
-            return ev.with_scale(out, ctx.scale,
-                                 reason="SlotToCoeff folded alpha") \
-                if last else out
+            return [ev.with_scale(out, ctx.scale,
+                                  reason="SlotToCoeff folded alpha")
+                    if last else out]
         return f
 
     stages = [("modraise", s_modraise)]
     for i, lev in enumerate(bt.c2s_levels):
         stages.append((f"c2s{i}", mk_c2s(lev)))
-    stages.append(("evalmod", s_evalmod))
+    stages += [("em_split", s_em_split), ("em_real", s_em_real),
+               ("em_imag", s_em_imag)]
     for i, lev in enumerate(bt.s2c_levels):
         stages.append((f"s2c{i}", mk_s2c(lev, i == len(bt.s2c_levels) - 1)))
 
     # ---- collection pass: abstract trace, records pts + stage slices ----
     bounds = []
-    meta_in = []            # (scale, n_q) of each stage's input
+    meta_in = []            # [(scale, n_q), ...] of each stage's input state
 
     def collect(d):
-        c = Ciphertext(d, delta_in, True)
+        state = [Ciphertext(d, delta_in, True)]
         for name, f in stages:
             bounds.append(len(tape.items))
-            meta_in.append((c.scale, c.n_q))
-            c = f(c)
+            meta_in.append([(c.scale, c.n_q) for c in state])
+            state = f(state)
         bounds.append(len(tape.items))
-        return c.data
+        return [c.data for c in state]
 
     restore_keys()
     jax.eval_shape(collect, jax.ShapeDtypeStruct(ct.data.shape, jnp.uint32))
     tape.mode = "replay"
     pts_all = tape.items
 
-    # ---- per-stage jits: (ct_data, pts_slice, gal, relin) ----------------
+    # ---- per-stage jits: (state_datas, pts_slice, gal, relin) -----------
     jitted = []
     for si, (name, f) in enumerate(stages):
         lo, hi = bounds[si], bounds[si + 1]
-        sc_in, _ = meta_in[si]
+        metas = meta_in[si]
 
-        def run(d, pts, gal_, relin_, f=f, sc_in=sc_in, lo=lo):
+        def run(datas, pts, gal_, relin_, f=f, metas=metas, lo=lo):
             set_keys(gal_, relin_)
             tape.cursor = lo
             tape.replay = {lo + i: p for i, p in enumerate(pts)}
-            return f(Ciphertext(d, sc_in, True)).data
+            state = [Ciphertext(d, m[0], True)
+                     for d, m in zip(datas, metas)]
+            return [c.data for c in f(state)]
 
         jitted.append((name, jax.jit(run), pts_all[lo:hi]))
 
     def pipeline(ct_in, verbose=False):
-        d = ct_in.data
+        datas = [ct_in.data]
         for name, jf, pts in jitted:
             t0 = time.perf_counter()
-            d = jf(d, pts, gal_data, relin_data)
+            datas = jf(datas, pts, gal_data, relin_data)
             restore_keys()
             if verbose:
-                d.block_until_ready()
+                datas[0].block_until_ready()
                 print(f"[boot] {name:<10} {time.perf_counter()-t0:7.2f} s",
                       flush=True)
-        return Ciphertext(d, ctx.scale, True)
+        return Ciphertext(datas[0], ctx.scale, True)
 
     t0 = time.perf_counter()
     outc = pipeline(ct, verbose=True)

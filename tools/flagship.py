@@ -96,7 +96,11 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
                     head_dim=p["head_dim"], d_inter=p["d_inter"])
     real_dims = dims.num_row == 128 and dims.d_model == 768
     ln_depth = 6 + 3 * p["ln_newton"] + 2 * p["ln_gold"]
-    inv_depth = p["inv_iters"] + 1
+    # inverse with reland_every=4: drift re-landing costs one extra level
+    # per 4 squarings (on this ladder the unrelanded 16-iter chain's scale
+    # OVERFLOWS float64 — pair products sit ~0.11 bits off Delta and the
+    # log-drift doubles per squaring; see inverse_goldschmidt docstring)
+    inv_depth = p["inv_iters"] + 1 + max(0, (p["inv_iters"] - 1) // 4)
     n_levels = max(16, ln_depth + 2, inv_depth + 3)
     cfg = CKKSConfig(logN=p["logN"], q0_bits=(30.0, 30.0),
                      data_pair_bits=26.0, n_data_levels=n_levels,
@@ -364,7 +368,8 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
             bind_keys(ks, n_inv)
             s = Ciphertext(sd[0], scale, True)
             s = ev.add_const(s, 0.7)           # keep 1/x domain sane
-            inv = inverse_goldschmidt(ev, s, p["inv_iters"])
+            inv = inverse_goldschmidt(ev, s, p["inv_iters"],
+                                      reland_every=4)
             e = Ciphertext(ed, scale, True)
             en, invn = ev.align(e, inv)
             return ev.mul_relin_rescale(
