@@ -253,13 +253,16 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
             out = jf_fin(acc, mask_pt.data)
             block(out)
             t0 = time.perf_counter()
+            outs = []
             for ii in range(ni):
                 acc = None
                 for ji in range(nj):
                     acc = jf_mm(x_chunk.data, wd[ii], acc)
-                out = jf_fin(acc, mask_pt.data)
-            block(out)
+                outs.append(jf_fin(acc, mask_pt.data))
+            block(outs)         # EVERY independent chain (a block on just
             dt = time.perf_counter() - t0
+            out = outs[-1]      # the last one can return with siblings
+            del outs            # still in flight on the async dispatcher)
             del x_chunk, wd, acc, out, mask_pt
             gc.collect()
             return dt
@@ -310,16 +313,19 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         block(out)
         del acc, out
         t0 = time.perf_counter()
+        outs = []
         for _ in range(H):
             acc = None
             for _c in range(n_chunks):
                 part = jf_part(qh.data, kh.data, keys)
                 acc = part if acc is None else jf_acc(acc, part)
-            out = jf_fin(acc, keys)
-        block(out)
+            outs.append(jf_fin(acc, keys))
+        block(outs)             # block EVERY head's chain
         unbind()
         record("qkt_ccmm", time.perf_counter() - t0,
                f"({H} heads x {n_chunks} chunks)")
+        out = outs[-1]
+        del outs
         del qh, kh, keys, out, acc, part
         gc.collect()
 
@@ -351,11 +357,13 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         unbind()
         block(out)
         t0 = time.perf_counter()
-        for _ in range(H):
-            out = jf(sm_in.data, keys, neg_pt.data, mask_pt.data)
-        block(out)
+        outs = [jf(sm_in.data, keys, neg_pt.data, mask_pt.data)
+                for _ in range(H)]
+        block(outs)
         unbind()
         part1 = time.perf_counter() - t0
+        out = outs[-1]
+        del outs
         del sm_in, out, keys, neg_pt, mask_pt
         gc.collect()
 
@@ -381,11 +389,12 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         unbind()
         block(out2)
         t0 = time.perf_counter()
-        for _ in range(H):
-            out2 = jf2(s_ct.data, e_ct.data, keys)
-        block(out2)
+        outs2 = [jf2(s_ct.data, e_ct.data, keys) for _ in range(H)]
+        block(outs2)
         unbind()
         part2 = time.perf_counter() - t0
+        out2 = outs2[-1]
+        del outs2
         record("softmax", part1 + part2,
                f"(exp/sum {part1:.3f} + inv/mult {part2:.3f}, {H} heads)")
         del s_ct, e_ct, out2, keys
@@ -410,11 +419,12 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         unbind()
         block(out)
         t0 = time.perf_counter()
-        for _ in range(H):
-            out = jf(av_a.data, av_v.data, keys)
-        block(out)
+        outs = [jf(av_a.data, av_v.data, keys) for _ in range(H)]
+        block(outs)
         unbind()
         record("av_ccmm", time.perf_counter() - t0, f"({H} heads)")
+        out = outs[-1]
+        del outs
         del av_a, av_v, keys, out
         gc.collect()
 
