@@ -252,17 +252,18 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
                 acc = jf_mm(x_chunk.data, wd[0], acc)
             out = jf_fin(acc, mask_pt.data)
             block(out)
+            # block each independent chain as it completes: the async
+            # dispatcher runs independent chains CONCURRENTLY — blocking
+            # only the last undermeasures, and letting all chains fly
+            # OOMs the chip (each holds GBs of temps)
             t0 = time.perf_counter()
-            outs = []
             for ii in range(ni):
                 acc = None
                 for ji in range(nj):
                     acc = jf_mm(x_chunk.data, wd[ii], acc)
-                outs.append(jf_fin(acc, mask_pt.data))
-            block(outs)         # EVERY independent chain (a block on just
+                out = jf_fin(acc, mask_pt.data)
+                block(out)
             dt = time.perf_counter() - t0
-            out = outs[-1]      # the last one can return with siblings
-            del outs            # still in flight on the async dispatcher)
             del x_chunk, wd, acc, out, mask_pt
             gc.collect()
             return dt
@@ -313,19 +314,16 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         block(out)
         del acc, out
         t0 = time.perf_counter()
-        outs = []
         for _ in range(H):
             acc = None
             for _c in range(n_chunks):
                 part = jf_part(qh.data, kh.data, keys)
                 acc = part if acc is None else jf_acc(acc, part)
-            outs.append(jf_fin(acc, keys))
-        block(outs)             # block EVERY head's chain
+            out = jf_fin(acc, keys)
+            block(out)          # per-head: see qkv note on async chains
         unbind()
         record("qkt_ccmm", time.perf_counter() - t0,
                f"({H} heads x {n_chunks} chunks)")
-        out = outs[-1]
-        del outs
         del qh, kh, keys, out, acc, part
         gc.collect()
 
@@ -357,13 +355,11 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         unbind()
         block(out)
         t0 = time.perf_counter()
-        outs = [jf(sm_in.data, keys, neg_pt.data, mask_pt.data)
-                for _ in range(H)]
-        block(outs)
+        for _ in range(H):
+            out = jf(sm_in.data, keys, neg_pt.data, mask_pt.data)
+            block(out)
         unbind()
         part1 = time.perf_counter() - t0
-        out = outs[-1]
-        del outs
         del sm_in, out, keys, neg_pt, mask_pt
         gc.collect()
 
@@ -389,12 +385,11 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         unbind()
         block(out2)
         t0 = time.perf_counter()
-        outs2 = [jf2(s_ct.data, e_ct.data, keys) for _ in range(H)]
-        block(outs2)
+        for _ in range(H):
+            out2 = jf2(s_ct.data, e_ct.data, keys)
+            block(out2)
         unbind()
         part2 = time.perf_counter() - t0
-        out2 = outs2[-1]
-        del outs2
         record("softmax", part1 + part2,
                f"(exp/sum {part1:.3f} + inv/mult {part2:.3f}, {H} heads)")
         del s_ct, e_ct, out2, keys
@@ -419,12 +414,11 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         unbind()
         block(out)
         t0 = time.perf_counter()
-        outs = [jf(av_a.data, av_v.data, keys) for _ in range(H)]
-        block(outs)
+        for _ in range(H):
+            out = jf(av_a.data, av_v.data, keys)
+            block(out)
         unbind()
         record("av_ccmm", time.perf_counter() - t0, f"({H} heads)")
-        out = outs[-1]
-        del outs
         del av_a, av_v, keys, out
         gc.collect()
 
@@ -556,6 +550,7 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
             for ji in range(nj):
                 acc = jf_wi(x_chunk.data, wi_d[ci % n_wmat], acc)
             out_acc = jf_gw(acc, wf_d[ci % n_wmat], out_acc, keys)
+            block(out_acc)      # bound in-flight chains (async dispatch)
         block(out_acc)
         unbind()
         record("ffn_gelu_ffn", time.perf_counter() - t0,
