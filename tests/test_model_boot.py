@@ -114,10 +114,6 @@ def test_bert_layer_real_bootstrap():
     encryptor = Encryptor(ctx, enc, kg.gen_public_key(), kg)
     decryptor = Decryptor(ctx, enc, kg.sk)
     ev = Evaluator(ctx, relin_key=kg.gen_relin_key())
-    bt = Bootstrapper(ev, enc, m_bound=M_BOUND)
-    steps = sorted(set(bt.galois_steps()) | set(galois_steps_for_model(DIMS)))
-    ev.galois_keys = kg.gen_galois_keys(steps=steps, conjugate=True)
-    _refresh = make_refresh(bt, m_bound=M_BOUND)
 
     # probe every refresh (harness-side decrypt, the reference's debug-
     # print analog): localizes any bootstrap divergence to the call site
@@ -134,8 +130,6 @@ def test_bert_layer_real_bootstrap():
             (len(probe_log), v_in, v_out)
         return out
 
-    # the bootstrap must resurface above the deepest re-entry level
-    boot_out = ctx.L - 2 * bt.levels
     w = rand_weights()
     xs = RNG.normal(0, 0.6, (N_INPUTS, DIMS.num_row, DIMS.d_model))
     for j, ln_ in enumerate(LENS):
@@ -159,6 +153,25 @@ def test_bert_layer_real_bootstrap():
         q = x @ w.wq / np.sqrt(DIMS.head_dim) + w.bq / np.sqrt(DIMS.head_dim)
         k = x @ w.wk + w.bk
         qmax = max(qmax, np.abs(q @ k.T).max())
+
+    # every refreshed value's plaintext magnitude, with margin — the first
+    # committed run of this test diverged because the hard-coded M_BOUND=8
+    # undershot the real post-W_O activations (|17.9|): values outside the
+    # declared bound land outside EvalMod's approximation intervals
+    f_post_flat = [f_post[j] + h1_ref[j] for j in range(N_INPUTS)]
+    m_bound = float(1.4 * max(
+        max(np.abs(a).max() for a in att_ref),
+        float(np.abs(xs).max()),
+        max(np.abs(f).max() for f in f_post),
+        max(np.abs(h).max() for h in h1_ref),
+        max(np.abs(v).max() for v in f_post_flat),
+        max(np.abs(v).max() for v in want), 1.0))
+    bt = Bootstrapper(ev, enc, m_bound=m_bound)
+    steps = sorted(set(bt.galois_steps()) | set(galois_steps_for_model(DIMS)))
+    ev.galois_keys = kg.gen_galois_keys(steps=steps, conjugate=True)
+    _refresh = make_refresh(bt, m_bound=m_bound)
+    # the bootstrap must resurface above the deepest re-entry level
+    boot_out = ctx.L - 2 * bt.levels
 
     layer = EncryptedBertLayer(
         ev, enc, w, DIMS, PLAN, LENS, max_table=float(qmax),
