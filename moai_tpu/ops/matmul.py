@@ -319,9 +319,10 @@ def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
     vb = jnp.concatenate([v.data[None], vb_rot.data]) if vb_rot is not None \
         else v.data[None]                                   # [g, dv, 2, L, N]
     partials = []   # 3-poly [dv, 3, L, N] per giant group
+    xdat = x.data
     for bi in range(b):
         lo, hi = bi * g, min((bi + 1) * g, m)
-        grp = x.with_data(x.data[lo:hi])
+        grp = x.with_data(xdat[lo:hi])
         if bi:
             grp = ev.rotate(grp, -g * bi * num_x)           # pre-rotate group
         ng = hi - lo
@@ -334,14 +335,21 @@ def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
                         ma.mont_mul(a1, b0, q, qneg), q)
         c2 = ma.mont_mul(a1, b1, q, qneg)
         prod = jnp.stack([c0, c1, c2], axis=-3)             # [ng, dv, 3, L, N]
-        partials.append(_sum_axis(prod, 0, q))              # [dv, 3, L, N]
+        p_sum = _sum_axis(prod, 0, q)                       # [dv, 3, L, N]
+        # sequence the giant groups (ma.seq doc) — all b groups' [ng, dv,
+        # 3, L, N] products would otherwise be scheduled concurrently
+        p_sum, vb, xdat = ma.seq(p_sum, vb, xdat)
+        partials.append(p_sum)
     stacked = Ciphertext(jnp.stack(partials), x.scale * v.scale, True)
     rel = ev.relinearize(stacked)                           # [b, dv, 2, L, N]
     total = None
+    rel_d = rel.data
     for bi in range(b):
-        part = Ciphertext(rel.data[bi], rel.scale, True)
+        part = Ciphertext(rel_d[bi], rel.scale, True)
         if bi:
             part = ev.rotate(part, g * bi * num_x)          # giant step
+            pd, rel_d = ma.seq(part.data, rel_d)            # sequence rots
+            part = part.with_data(pd)
         total = part if total is None else \
             part.with_data(ma.add_mod(total.data, part.data, q))
     return ev.rescale(ev.rescale(total))
