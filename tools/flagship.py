@@ -65,7 +65,7 @@ PRESETS = {
     "n15": dict(logN=15, num_x=128, num_row=128, d_model=768, num_heads=12,
                 head_dim=64, d_inter=3072, exp_r=7, inv_iters=16,
                 ln_newton=3, ln_gold=1, dnum=3,
-                j_chunk=256, i_chunk=192, ln_chunk=48, ffn_i_chunk=128,
+                j_chunk=256, i_chunk=192, ln_chunk=32, ffn_i_chunk=128,
                 ccmm_col_chunk=16, reps=1),
 }
 
@@ -137,6 +137,9 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     if verbose:
         print(f"[moai] setup (keygen)            {setup_s:8.1f} s "
               f"({len(dev_gal)} galois keys)", flush=True)
+    if only is not None and not ({"qkt_ccmm", "av_ccmm"} & set(only)):
+        dev_gal = {}          # free ~1.5 GB for rotation-free stage runs
+        gc.collect()
 
     ev = Evaluator(ctx)
     rng = np.random.default_rng(3)
