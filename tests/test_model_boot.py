@@ -95,9 +95,9 @@ def rand_weights() -> BertLayerWeights:
     g = lambda *s: RNG.normal(0, 0.25, s)
     return BertLayerWeights(
         wq=g(d, hh), bq=g(hh) * 0.1, wk=g(d, hh), bk=g(hh) * 0.1,
-        wv=g(d, hh), bv=g(hh) * 0.1, wo=g(d, d) * 0.5, bo=g(d) * 0.1,
+        wv=g(d, hh), bv=g(hh) * 0.1, wo=g(d, d) * 0.15, bo=g(d) * 0.1,
         ln1_g=RNG.uniform(0.8, 1.2, d), ln1_b=g(d) * 0.1,
-        wi=g(d, di) * 0.5, bi=g(di) * 0.1, wf=g(di, d) * 0.4, bf=g(d) * 0.1,
+        wi=g(d, di) * 0.3, bi=g(di) * 0.1, wf=g(di, d) * 0.2, bf=g(d) * 0.1,
         ln2_g=RNG.uniform(0.8, 1.2, d), ln2_b=g(d) * 0.1)
 
 
@@ -159,6 +159,10 @@ def test_bert_layer_real_bootstrap():
     # undershot the real post-W_O activations (|17.9|): values outside the
     # declared bound land outside EvalMod's approximation intervals
     f_post_flat = [f_post[j] + h1_ref[j] for j in range(N_INPUTS)]
+    # the EvalMod cosine fit is proven to eps = m_bound*Delta/q0 ~ 0.03
+    # (m_bound 8 at these q0/Delta; the first rerun showed m_bound ~25
+    # pushes eps to ~0.1 where the deg-59 fit collapses): weights above
+    # are scaled so activations stay inside that envelope
     m_bound = float(1.4 * max(
         max(np.abs(a).max() for a in att_ref),
         float(np.abs(xs).max()),
@@ -166,6 +170,7 @@ def test_bert_layer_real_bootstrap():
         max(np.abs(h).max() for h in h1_ref),
         max(np.abs(v).max() for v in f_post_flat),
         max(np.abs(v).max() for v in want), 1.0))
+    assert m_bound <= 9.0, f"test data exceeds EvalMod envelope: {m_bound}"
     bt = Bootstrapper(ev, enc, m_bound=m_bound)
     steps = sorted(set(bt.galois_steps()) | set(galois_steps_for_model(DIMS)))
     ev.galois_keys = kg.gen_galois_keys(steps=steps, conjugate=True)

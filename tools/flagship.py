@@ -65,7 +65,7 @@ PRESETS = {
     "n15": dict(logN=15, num_x=128, num_row=128, d_model=768, num_heads=12,
                 head_dim=64, d_inter=3072, exp_r=7, inv_iters=16,
                 ln_newton=3, ln_gold=1, dnum=3,
-                j_chunk=256, i_chunk=192, ln_chunk=32, ffn_i_chunk=128,
+                j_chunk=256, i_chunk=192, ln_chunk=16, ffn_i_chunk=128,
                 ccmm_col_chunk=16, reps=1),
 }
 
