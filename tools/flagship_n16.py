@@ -1,6 +1,13 @@
 """flagship_config() probe: construct the REAL MOAI-equivalent chain at
 N = 2^16 and prove it runs on one chip.
 
+STATUS (r4): the staged pipeline compiles and RUNS mechanically at the
+--small logic-check config (all stages execute; per-stage timings print)
+but decrypt error is wrong on configs with n_boot_levels > 0 (boot-pair
+ladders) — the bootstrap is numerically proven only on data-pair chains
+(tools/bench_boot.py: max_err 7.7e-5).  Root-causing the boot-pair
+interaction is open; the N=2^16 TPU run did not fit this round.
+
 VERDICT r3 item 4: params.flagship_config() (N=2^16, 20 data + 16 boot
 levels, dnum=6 — the analog of the reference's parameter set,
 test_full_scheme.hpp:345-378) had never been instantiated.  This tool
@@ -311,7 +318,8 @@ def main():
     bm, bo = jnp.asarray(bm), jnp.asarray(bo)
 
     def f_cpmm(xd, wdig):
-        out = mod_matmul(xd, wdig, bm, bo, ev.dev["q"], ev.dev["qneg_inv"])
+        out = mod_matmul(xd, wdig, bm, bo, ev.dev["q"][:ctx.L],
+                         ev.dev["qneg_inv"][:ctx.L])
         return ev.rescale_pair(Ciphertext(out, x_ct.scale * w_sc,
                                           True)).data
 
