@@ -458,8 +458,15 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     if want("layernorm_x2"):
         n_ln = lv(ln_depth + 1)
         keys = upload_keys(n_ln)
-        g_v = rng.uniform(0.8, 1.2, dims.d_model)
-        b_v = rng.normal(0, 0.05, dims.d_model)
+        # at d_model=768 the un-donatable 38-limb input (7.6 GB) plus the
+        # LN program (~8.9 GB regardless of col_chunk) exceeds HBM; run
+        # two 384-column halves and report 2x one half — per-column work
+        # is identical, only the single-ciphertext rsqrt is double-counted
+        # (a ~1% over-estimate; noted in the stage note)
+        ln_cols = dims.d_model if dims.d_model <= 64 else dims.d_model // 2
+        ln_halves = dims.d_model // ln_cols
+        g_v = rng.uniform(0.8, 1.2, ln_cols)
+        b_v = rng.normal(0, 0.05, ln_cols)
 
         def f_ln(hdata, ks):
             bind_keys(ks, n_ln)
@@ -472,25 +479,26 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
                              col_chunk=p["ln_chunk"]).data
 
         jf = jax.jit(f_ln, donate_argnums=(0,))
-        h_ln = fake_ct(dims.d_model, n_ln)
+        h_ln = fake_ct(ln_cols, n_ln)
         out = jf(h_ln.data, keys)
         unbind()
         block(out)
         del h_ln, out
         gc.collect()
-        h1 = fake_ct(dims.d_model, n_ln)
-        t0 = time.perf_counter()
-        out = jf(h1.data, keys)
-        block(out)
-        del h1, out
-        h2 = fake_ct(dims.d_model, n_ln)
-        t1 = time.perf_counter()   # exclude host fake_ct generation
-        out2 = jf(h2.data, keys)
-        block(out2)
-        t2 = time.perf_counter()
+        t_sum = 0.0
+        for _rep in range(2 * ln_halves):      # LN x2, each in halves
+            h1 = fake_ct(ln_cols, n_ln)
+            t0 = time.perf_counter()
+            out = jf(h1.data, keys)
+            block(out)
+            t_sum += time.perf_counter() - t0
+            del h1, out
+            gc.collect()
         unbind()
-        record("layernorm_x2", (t1 - t0) + (t2 - t1))
-        del h2, out2, keys
+        record("layernorm_x2", t_sum,
+               f"({2 * ln_halves} x {ln_cols}-col halves; shared rsqrt "
+               f"double-counted)")
+        del keys
         gc.collect()
 
     # =====================================================================
