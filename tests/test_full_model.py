@@ -47,8 +47,12 @@ def rand_weights() -> BertLayerWeights:
 
 @pytest.mark.slow
 def test_bert_model_two_layers():
+    # 14 data levels: exp_r=7 makes attention_in = 13 composite levels
+    # (DepthPlan), +1 level bottom margin — the r3-committed 13-level
+    # config exhausted the chain (rescale hit q0) and was never runnable
+    # at exp_r=7 (first recorded run, this round)
     cfg = CKKSConfig(logN=11, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
-                     n_data_levels=13, n_boot_levels=0, dnum=2,
+                     n_data_levels=14, n_boot_levels=0, dnum=2,
                      hamming_weight=64)
     ctx = make_context(cfg)
     assert DIMS.num_x * DIMS.num_row == ctx.cfg.slots
