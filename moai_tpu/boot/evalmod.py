@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import mod_arith as ma
+
+from .. import mod_arith as ma
 from ..ciphertext import Ciphertext
 from ..evaluator import Evaluator
 
@@ -225,6 +228,15 @@ def cheb_eval_bsgs(ev: Evaluator, x: Ciphertext, coeffs: np.ndarray
         rc = _trim(rc)
         if rc == [0.0]:
             return prod
+        # serialize the sibling remainder subtree behind the quotient one
+        # (ma.seq in mod_arith): the independent BSGS subtrees otherwise
+        # schedule concurrently — a deg-24 GELU on a 128x22-limb batch
+        # compiled to a 42 GB schedule on the 16 GB chip
+        ks = sorted(T)
+        seq_out = ma.seq(prod.data, *[T[k].data for k in ks])
+        prod = prod.with_data(seq_out[0])
+        for i, k in enumerate(ks):
+            T[k] = T[k].with_data(seq_out[1 + i])
         rv = rec(rc, target)
         return ev.add(*ev.align(prod, rv))
 
