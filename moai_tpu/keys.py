@@ -77,9 +77,13 @@ class GaloisKeys:
 
     @property
     def q_limbs(self) -> int | None:
-        for k in self.keys.values():
-            return k.q_limbs
-        return None
+        """Common Q-limb count of all keys.  Heterogeneously sliced key
+        dicts would mis-slice in Evaluator._key_rows, so uniformity is an
+        invariant (ADVICE r4): assert it here."""
+        vals = {k.q_limbs for k in self.keys.values()}
+        assert len(vals) <= 1, \
+            f"GaloisKeys sliced non-uniformly: q_limbs set {vals}"
+        return next(iter(vals)) if vals else None
 
 
 def slice_kswitch(key: KSwitchKey, n_q: int, L: int) -> KSwitchKey:

@@ -52,10 +52,18 @@ def encode_plain(ev: Evaluator, encoder: Encoder, vals, scale: float,
 # scalar-function primitives
 # --------------------------------------------------------------------------
 
+def exp_taylor_primes(r: int) -> int:
+    """Primes consumed by :func:`exp_taylor` (1 const-mult + r squarings =
+    r+1 composite levels = 2*(r+1) primes).  Shared by exp_taylor and
+    softmax_pts so a ladder change cannot silently desync the precomputed
+    plaintext levels (ADVICE r4)."""
+    return 2 * (r + 1)
+
+
 def exp_taylor(ev: Evaluator, x: Ciphertext, r: int = 7) -> Ciphertext:
     """exp(x) ~= (1 + x/2^r)^(2^r); r=7 -> 1 const-mult + 7 squarings =
-    8 composite levels (reference: exp, softmax.hpp:9-47).
-    Accurate for x <= 0 (softmax uses x - max)."""
+    8 composite levels (``exp_taylor_primes(r)`` primes; reference: exp,
+    softmax.hpp:9-47).  Accurate for x <= 0 (softmax uses x - max)."""
     y = ev.rescale_pair(ev.mul_const_to(x, 1.0 / (1 << r), x.scale))
     y = ev.add_const(y, 1.0)
     for _ in range(r):
@@ -441,7 +449,7 @@ def softmax_pts(ev: Evaluator, encoder: Encoder, masks: np.ndarray,
     if sum_scale is None:
         sum_scale = float(masks.shape[0])
     neg_max = encode_plain(ev, encoder, -max_val * masks, in_scale, n_q)
-    n_e = n_q - 2 * exp_r - 2                 # level of exp output
+    n_e = n_q - exp_taylor_primes(exp_r)      # level of exp output
     pair = ev.level_pair_scale(n_e)
     mask_pt = encode_plain(ev, encoder, masks / sum_scale, pair, n_e)
     return neg_max, mask_pt

@@ -146,10 +146,13 @@ class Context:
             out *= p
         return out
 
-    def estimate_security_bits(self) -> float:
-        logqp = sum(math.log2(p) for p in self.all_primes)
-        # standard HE rough rule: 128-bit classical needs logQP <~ N/36.2
-        return 128.0 * (self.cfg.N / 36.2) / logqp
+    def estimate_security_bits(self, quantum: bool = False) -> float:
+        """Primal-uSVP core-SVP estimate for THIS chain's N, full key
+        modulus QP and secret distribution (moai_tpu.security; replaces
+        the round-4 folklore logQP rule).  See SECURITY.md for the
+        committed chain table and methodology caveats."""
+        from .security import context_security_bits
+        return context_security_bits(self, quantum=quantum)
 
     # -- RNS precomputations ---------------------------------------------
     def _build_rns_tables(self):
@@ -293,12 +296,51 @@ def bench_config_n15() -> CKKSConfig:
                       hamming_weight=192)
 
 
+def _approx_security_bits(cfg: CKKSConfig) -> float:
+    """Closed-form estimate from the CONFIG bit budget (no prime search):
+    logQP ~ sum of configured sizes + special primes covering the largest
+    hybrid digit.  Good to ~1 bit vs the built-context estimate."""
+    from .security import security_bits
+    logq = (sum(cfg.q0_bits) + 2 * cfg.data_pair_bits * cfg.n_data_levels
+            + 2 * cfg.boot_pair_bits * cfg.n_boot_levels)
+    n_primes = len(cfg.q0_bits) + 2 * (cfg.n_data_levels + cfg.n_boot_levels)
+    alpha = math.ceil(n_primes / max(1, min(cfg.dnum, n_primes)))
+    digit_bits = alpha * max(cfg.q0_bits[0], cfg.data_pair_bits,
+                             cfg.boot_pair_bits)
+    special = math.ceil(digit_bits / cfg.special_bits) * cfg.special_bits
+    return security_bits(cfg.N, logq + special,
+                         hamming_weight=cfg.hamming_weight or None)
+
+
 def flagship_config() -> CKKSConfig:
     """Full MOAI-equivalent chain at N=2^16: 20 data levels + 16 boot
     levels (the reference uses 14 boot levels, test_full_scheme.hpp:
     345-378; our pipeline spends 3 CoeffToSlot + 10 EvalMod + 3
     SlotToCoeff composite levels).  q0 = 60 bits (see bench_config_n15
-    note)."""
-    return CKKSConfig(logN=16, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
-                      n_data_levels=20, boot_pair_bits=29.0, n_boot_levels=16,
-                      dnum=6, hamming_weight=192)
+    note).
+
+    Security: ~57 bits conservative core-SVP (SECURITY.md) — the
+    throughput-first chain.  The reference's own chain (logQP 1743,
+    sec_level_type::none) is ~94 bits in the same model; use
+    :func:`flagship_parity_config` for a chain at reference-comparable
+    hardness."""
+    cfg = CKKSConfig(logN=16, q0_bits=(30.0, 30.0), data_pair_bits=26.0,
+                     n_data_levels=20, boot_pair_bits=29.0, n_boot_levels=16,
+                     dnum=6, hamming_weight=192)
+    bits = _approx_security_bits(cfg)
+    assert bits >= 55.0, \
+        f"flagship chain regressed below its documented floor: {bits:.1f}"
+    return cfg
+
+
+def flagship_parity_config() -> CKKSConfig:
+    """N=2^16 chain sized to the reference's bit budget (logp=46 data
+    levels, logq=51 q0/boot levels, test_full_scheme.hpp:357-378):
+    23-bit data pairs, 25.5-bit boot pairs, 51-bit q0, dnum=13 so the
+    special primes stay small.  ~74 bits conservative core-SVP vs the
+    reference chain's ~94 (the remaining gap is our 2 extra boot levels
+    + hybrid-KS special primes; SECURITY.md has the full table)."""
+    return CKKSConfig(logN=16, q0_bits=(26.0, 25.0), data_pair_bits=23.0,
+                      n_data_levels=20, boot_pair_bits=25.5,
+                      n_boot_levels=16, dnum=13, special_bits=29.5,
+                      hamming_weight=192)

@@ -47,6 +47,22 @@ def main():
     n_inputs = flag["num_inputs"]
     stage_sum = flag["stage_sum_s"]
     per_ct = boot["boot_s_per_ct"]
+    # Honesty gates (ADVICE r4): a projection from an incomplete stage
+    # table, or from a boot row at the wrong slot count / backend, would
+    # overstate the speedup with no visible caveat.  Refuse the speedup
+    # (emit nulls + the reason) instead.
+    problems = []
+    if flag.get("missing_stages"):
+        problems.append("FLAGSHIP.json missing stages: "
+                        + ", ".join(flag["missing_stages"]))
+    if boot["slots"] != want_slots:
+        problems.append(
+            f"no boot measurement at the flagship slot count "
+            f"({want_slots}); nearest is {boot['slots']} slots")
+    if boot.get("backend", "tpu") != flag.get("backend", "tpu"):
+        problems.append(
+            f"boot row backend {boot.get('backend')!r} != flagship "
+            f"backend {flag.get('backend', 'tpu')!r}")
     boot_layer_s = (BOOTS_PER_LAYER * CTS_PER_BOOT
                     + SOFTMAX_BOOTS_PER_LAYER) * per_ct
     layer_s = stage_sum + boot_layer_s
@@ -63,9 +79,12 @@ def main():
         "boot_max_err": boot.get("max_err"),
         "boot_s_per_layer_batch": round(boot_layer_s, 2),
         "layer_s_batch": round(layer_s, 2),
-        "amortized_s_per_input_12layer": round(model_s, 2),
+        "amortized_s_per_input_12layer":
+            None if problems else round(model_s, 2),
         "ref_s_per_input_12layer": REF_TOTAL_S_PER_INPUT,
-        "speedup_vs_ref": round(REF_TOTAL_S_PER_INPUT / model_s, 2),
+        "speedup_vs_ref":
+            None if problems else round(REF_TOTAL_S_PER_INPUT / model_s, 2),
+        "refused_because": problems or None,
         "caveats": [
             "stage times measured on one TPU v5e chip at N=2^{}, {} "
             "interleaved inputs (reference: N=2^16, 256 inputs on a "
