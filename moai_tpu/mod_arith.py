@@ -99,6 +99,28 @@ def mont_mul(a, b, q, qneg_inv):
     return mont_redc(hi, lo, q, qneg_inv)
 
 
+def host_shoup(w: int, q: int) -> int:
+    """Shoup companion floor(w * 2^32 / q) for a precomputed multiplier
+    w < q (host, exact)."""
+    return (w << 32) // q
+
+
+def shoup_mul(x, w, w_shoup, q):
+    """x * w mod q for a PRECOMPUTED multiplier w < q with Shoup companion
+    w_shoup = floor(w * 2^32 / q) (host_shoup).  ~6 VPU multiplies instead
+    of Montgomery's ~9 (SEAL uses the same trick for twiddles/keys,
+    util/uintarithsmallmod.h multiply_uint_mod<const>).
+
+    Math: with h = floor(x*w_shoup / 2^32), q*h is within (xw - 2q, xw],
+    so r = x*w - h*q (computed wrapping uint32 — exact because r < 2q <
+    2^31) needs one conditional subtract.  Result preserves whatever
+    representation factor x carries (w is applied as a TRUE multiplier):
+    Montgomery-form x stays Montgomery."""
+    hi, _lo = mul_full_u32(x, w_shoup)
+    r = x * w - hi * q                            # wrapping, exact in [0,2q)
+    return jnp.where(r >= q, r - q, r)
+
+
 def to_mont(x, q, qneg_inv, r2):
     """Convert true residues (any uint32, even >= q) to Montgomery form."""
     return mont_mul(x.astype(U32), r2, q, qneg_inv)

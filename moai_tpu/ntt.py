@@ -20,9 +20,12 @@ and the cyclic N-point NTT is computed 4-step style with N = n1*n2
 Natural order gives the clean evaluation-point map  index k <-> exponent
 2k+1 (mod 2N), which makes Galois rotations a precomputed gather
 (see galois.py).  Every radix-2 stage is a full-width vector op: reshape
-[..., n, m] -> [..., B, 2, h, m], one add, one sub, one Montgomery mul.
+[..., n, m] -> [..., B, 2, h, m], one add, one sub, one twiddle mul.
 
-All data and twiddle tables are in Montgomery form (mod_arith.py).
+Data stays in Montgomery form (mod_arith.py); twiddles are applied as
+plain-residue + Shoup-companion pairs (mod_arith.shoup_mul, ~6 VPU
+multiplies vs Montgomery's ~9 — SEAL's Harvey butterflies use the same
+operand form, util/ntt.h), which preserves the data's Montgomery factor.
 """
 
 from __future__ import annotations
@@ -70,6 +73,12 @@ def _to_mont_vec(x: np.ndarray, q: int) -> np.ndarray:
     return (x.astype(np.uint64) * np.uint64(r1) % np.uint64(q)).astype(np.uint32)
 
 
+def _shoup_vec(w: np.ndarray, q: int) -> np.ndarray:
+    """Shoup companions floor(w*2^32/q) of true residues w < q < 2^30
+    (exact: w << 32 fits uint64)."""
+    return ((w.astype(np.uint64) << 32) // np.uint64(q)).astype(np.uint32)
+
+
 class NttTables:
     """Per-context twiddle tables for a list of primes (host numpy arrays).
 
@@ -97,19 +106,41 @@ class NttTables:
         self.psiinv_n_mont = np.zeros((L, N), dtype=np.uint32)
         self.w_mid = np.zeros((L, n1, n2), dtype=np.uint32)
         self.w_mid_inv = np.zeros((L, n1, n2), dtype=np.uint32)
+        # plain-residue twiddles + Shoup companions: the jnp transforms
+        # apply precomputed twiddles with mod_arith.shoup_mul (~6 VPU
+        # multiplies vs Montgomery's ~9); a plain multiplier preserves
+        # the Montgomery form of the data
+        self.psi_pl = np.zeros((L, N), dtype=np.uint32)
+        self.psi_sh = np.zeros((L, N), dtype=np.uint32)
+        self.psiinv_n_pl = np.zeros((L, N), dtype=np.uint32)
+        self.psiinv_n_sh = np.zeros((L, N), dtype=np.uint32)
+        self.w_mid_pl = np.zeros((L, n1, n2), dtype=np.uint32)
+        self.w_mid_sh = np.zeros((L, n1, n2), dtype=np.uint32)
+        self.w_mid_inv_pl = np.zeros((L, n1, n2), dtype=np.uint32)
+        self.w_mid_inv_sh = np.zeros((L, n1, n2), dtype=np.uint32)
         mid_exp = (np.arange(n1, dtype=np.int64)[:, None]
                    * np.arange(n2, dtype=np.int64)[None, :]) % N
         for i, q in enumerate(qs):
             psi = self.psi[i]
             psii = inv_mod(psi, q)
             ninv = inv_mod(N, q)
-            self.psi_mont[i] = _to_mont_vec(_pow_mod_vec(psi, jj, q), q)
+            psi_t = _pow_mod_vec(psi, jj, q)
+            self.psi_mont[i] = _to_mont_vec(psi_t, q)
+            self.psi_pl[i] = psi_t.astype(np.uint32)
+            self.psi_sh[i] = _shoup_vec(psi_t, q)
             pij = _pow_mod_vec(psii, jj, q) * np.uint64(ninv) % np.uint64(q)
             self.psiinv_n_mont[i] = _to_mont_vec(pij, q)
+            self.psiinv_n_pl[i] = pij.astype(np.uint32)
+            self.psiinv_n_sh[i] = _shoup_vec(pij, q)
             omega = psi * psi % q
-            self.w_mid[i] = _to_mont_vec(_pow_mod_vec(omega, mid_exp, q), q)
-            self.w_mid_inv[i] = _to_mont_vec(
-                _pow_mod_vec(inv_mod(omega, q), mid_exp, q), q)
+            mid_t = _pow_mod_vec(omega, mid_exp, q)
+            midi_t = _pow_mod_vec(inv_mod(omega, q), mid_exp, q)
+            self.w_mid[i] = _to_mont_vec(mid_t, q)
+            self.w_mid_inv[i] = _to_mont_vec(midi_t, q)
+            self.w_mid_pl[i] = mid_t.astype(np.uint32)
+            self.w_mid_sh[i] = _shoup_vec(mid_t, q)
+            self.w_mid_inv_pl[i] = midi_t.astype(np.uint32)
+            self.w_mid_inv_sh[i] = _shoup_vec(midi_t, q)
 
         # stage twiddles for the axis NTT sizes (DIF order).
         # n-point cyclic NTT, root w_n = omega^(N/n); DIF stage with block
@@ -121,14 +152,18 @@ class NttTables:
             t = n
             while t > 1:
                 half = t // 2
-                fw = np.zeros((L, half), dtype=np.uint32)
-                iw = np.zeros((L, half), dtype=np.uint32)
+                fw = np.zeros((L, 2, half), dtype=np.uint32)   # [plain, shoup]
+                iw = np.zeros((L, 2, half), dtype=np.uint32)
                 ex = np.arange(half, dtype=np.int64) * (n // t)
                 for i, q in enumerate(qs):
                     omega = self.psi[i] * self.psi[i] % q
                     wn = pow(omega, N // n, q)
-                    fw[i] = _to_mont_vec(_pow_mod_vec(wn, ex, q), q)
-                    iw[i] = _to_mont_vec(_pow_mod_vec(inv_mod(wn, q), ex, q), q)
+                    f_t = _pow_mod_vec(wn, ex, q)
+                    i_t = _pow_mod_vec(inv_mod(wn, q), ex, q)
+                    fw[i, 0] = f_t.astype(np.uint32)
+                    fw[i, 1] = _shoup_vec(f_t, q)
+                    iw[i, 0] = i_t.astype(np.uint32)
+                    iw[i, 1] = _shoup_vec(i_t, q)
                 fwd_stages.append(fw)
                 inv_stages.append(iw)
                 t = half
@@ -142,10 +177,14 @@ class NttTables:
             "qneg_inv": jnp.asarray(self.qneg_inv),
             "r2": jnp.asarray(self.r2),
             "r1": jnp.asarray(self.r1),
-            "psi_mont": jnp.asarray(self.psi_mont),
-            "psiinv_n_mont": jnp.asarray(self.psiinv_n_mont),
-            "w_mid": jnp.asarray(self.w_mid),
-            "w_mid_inv": jnp.asarray(self.w_mid_inv),
+            "psi_pl": jnp.asarray(self.psi_pl),
+            "psi_sh": jnp.asarray(self.psi_sh),
+            "psiinv_n_pl": jnp.asarray(self.psiinv_n_pl),
+            "psiinv_n_sh": jnp.asarray(self.psiinv_n_sh),
+            "w_mid_pl": jnp.asarray(self.w_mid_pl),
+            "w_mid_sh": jnp.asarray(self.w_mid_sh),
+            "w_mid_inv_pl": jnp.asarray(self.w_mid_inv_pl),
+            "w_mid_inv_sh": jnp.asarray(self.w_mid_inv_sh),
             "stage_tw": {n: [jnp.asarray(a) for a in v]
                          for n, v in self.stage_tw.items()},
             "stage_tw_inv": {n: [jnp.asarray(a) for a in v]
@@ -162,21 +201,22 @@ def _axis_ntt_dif(x, stages, bitrev, q, qneg):
     """n-point cyclic NTT along axis -2 of [..., L, n, m]; natural->natural.
 
     q/qneg: per-limb constants of shape [L] (reshaped internally).
+    Twiddles are applied as plain+Shoup pairs (mod_arith.shoup_mul).
     """
     n, m = x.shape[-2], x.shape[-1]
     lead = x.shape[:-2]
     q4 = q.reshape(-1, 1, 1, 1)
-    qneg4 = qneg.reshape(-1, 1, 1, 1)
     t = n
-    for tw in stages:                      # tw: [L, t/2]
+    for tw in stages:                      # tw: [L, 2, t/2] (plain, shoup)
         half = t // 2
         blocks = n // t
         xv = x.reshape(lead + (blocks, 2, half, m))
         u = xv[..., 0, :, :]               # [..., L, blocks, half, m]
         v = xv[..., 1, :, :]
-        twb = tw.reshape(-1, 1, half, 1)   # [L,1,half,1]
+        twp = tw[:, 0].reshape(-1, 1, half, 1)   # [L,1,half,1]
+        tws = tw[:, 1].reshape(-1, 1, half, 1)
         s = ma.add_mod(u, v, q4)
-        d = ma.mont_mul(ma.sub_mod(u, v, q4), twb, q4, qneg4)
+        d = ma.shoup_mul(ma.sub_mod(u, v, q4), twp, tws, q4)
         x = jnp.stack([s, d], axis=-3).reshape(lead + (n, m))
         t = half
     return jnp.take(x, bitrev, axis=-2)
@@ -187,7 +227,6 @@ def _axis_intt_dit(x, stages_inv, bitrev, q, qneg):
     n, m = x.shape[-2], x.shape[-1]
     lead = x.shape[:-2]
     q4 = q.reshape(-1, 1, 1, 1)
-    qneg4 = qneg.reshape(-1, 1, 1, 1)
     x = jnp.take(x, bitrev, axis=-2)       # to DIF output order
     t = 1
     for tw in stages_inv:                  # reversed stage order, w^{-1}
@@ -197,8 +236,9 @@ def _axis_intt_dit(x, stages_inv, bitrev, q, qneg):
         xv = x.reshape(lead + (blocks, 2, half, m))
         a = xv[..., 0, :, :]
         b = xv[..., 1, :, :]
-        twb = tw.reshape(-1, 1, half, 1)
-        bw = ma.mont_mul(b, twb, q4, qneg4)
+        twp = tw[:, 0].reshape(-1, 1, half, 1)
+        tws = tw[:, 1].reshape(-1, 1, half, 1)
+        bw = ma.shoup_mul(b, twp, tws, q4)
         u = ma.add_mod(a, bw, q4)
         v = ma.sub_mod(a, bw, q4)
         x = jnp.stack([u, v], axis=-3).reshape(lead + (n, m))
@@ -223,19 +263,20 @@ def ntt(x, tb, limb_slice=None):
         from .pallas_ntt import ntt_pallas
         return ntt_pallas(x, tb["pallas"], limb_slice)
     N = x.shape[-1]
-    n1 = tb["w_mid"].shape[-2]
-    n2 = tb["w_mid"].shape[-1]
+    n1 = tb["w_mid_pl"].shape[-2]
+    n2 = tb["w_mid_pl"].shape[-1]
     q = _sl(tb["q"], limb_slice).reshape(-1, 1)
     qneg = _sl(tb["qneg_inv"], limb_slice).reshape(-1, 1)
     assert q.shape[0] == x.shape[-2], (q.shape, x.shape)
 
-    x = ma.mont_mul(x, _sl(tb["psi_mont"], limb_slice), q, qneg)
+    x = ma.shoup_mul(x, _sl(tb["psi_pl"], limb_slice),
+                     _sl(tb["psi_sh"], limb_slice), q)
     x = x.reshape(x.shape[:-1] + (n1, n2))
     q2, qneg2 = q.reshape(-1, 1), qneg.reshape(-1, 1)
     x = _axis_ntt_dif(x, [_sl(a, limb_slice) for a in tb["stage_tw"][n1]],
                       tb["bitrev"][n1], q2, qneg2)
-    x = ma.mont_mul(x, _sl(tb["w_mid"], limb_slice),
-                    q.reshape(-1, 1, 1), qneg.reshape(-1, 1, 1))
+    x = ma.shoup_mul(x, _sl(tb["w_mid_pl"], limb_slice),
+                     _sl(tb["w_mid_sh"], limb_slice), q.reshape(-1, 1, 1))
     x = jnp.swapaxes(x, -1, -2)
     x = _axis_ntt_dif(x, [_sl(a, limb_slice) for a in tb["stage_tw"][n2]],
                       tb["bitrev"][n2], q2, qneg2)
@@ -248,8 +289,8 @@ def intt(x, tb, limb_slice=None):
         from .pallas_ntt import intt_pallas
         return intt_pallas(x, tb["pallas"], limb_slice)
     N = x.shape[-1]
-    n1 = tb["w_mid"].shape[-2]
-    n2 = tb["w_mid"].shape[-1]
+    n1 = tb["w_mid_pl"].shape[-2]
+    n2 = tb["w_mid_pl"].shape[-1]
     q = _sl(tb["q"], limb_slice).reshape(-1, 1)
     qneg = _sl(tb["qneg_inv"], limb_slice).reshape(-1, 1)
     q2, qneg2 = q.reshape(-1, 1), qneg.reshape(-1, 1)
@@ -258,9 +299,11 @@ def intt(x, tb, limb_slice=None):
     x = _axis_intt_dit(x, [_sl(a, limb_slice) for a in tb["stage_tw_inv"][n2]],
                        tb["bitrev"][n2], q2, qneg2)
     x = jnp.swapaxes(x, -1, -2)
-    x = ma.mont_mul(x, _sl(tb["w_mid_inv"], limb_slice),
-                    q.reshape(-1, 1, 1), qneg.reshape(-1, 1, 1))
+    x = ma.shoup_mul(x, _sl(tb["w_mid_inv_pl"], limb_slice),
+                     _sl(tb["w_mid_inv_sh"], limb_slice),
+                     q.reshape(-1, 1, 1))
     x = _axis_intt_dit(x, [_sl(a, limb_slice) for a in tb["stage_tw_inv"][n1]],
                        tb["bitrev"][n1], q2, qneg2)
     x = x.reshape(x.shape[:-2] + (N,))
-    return ma.mont_mul(x, _sl(tb["psiinv_n_mont"], limb_slice), q, qneg)
+    return ma.shoup_mul(x, _sl(tb["psiinv_n_pl"], limb_slice),
+                        _sl(tb["psiinv_n_sh"], limb_slice), q)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import mod_arith as ma
+
 NDIG = 4
 U32 = jnp.uint32
 
@@ -113,28 +115,42 @@ class PallasNttTables:
             w1i[i] = _host_balanced_digits((m1i * Ai[:, None] % q))
             w2i[i] = _host_balanced_digits(_dft_matrix(omega, n2, n1, q,
                                                        True))
-            # mid tiles stay Montgomery; multiplying by a plain factor
-            # keeps the Montgomery form of the combined constant
-            mid[i] = (nt.w_mid[i].astype(np.uint64) * B[None, :] % q
-                      ).astype(np.uint32)
-            mid_inv_T[i] = (np.swapaxes(nt.w_mid_inv[i], -1, -2
+            # mid tiles: combined constant in PLAIN residue form + Shoup
+            # companion — the kernel applies them with shoup_mul (~6 VPU
+            # multiplies vs Montgomery's ~9); a plain multiplier preserves
+            # the Montgomery factor the data carries.  (q < 2^30 so
+            # uint64 products below are exact.)
+            mid[i] = (nt.w_mid_pl[i].astype(np.uint64)
+                      * B[None, :] % q).astype(np.uint32)
+            mid_inv_T[i] = (np.swapaxes(nt.w_mid_inv_pl[i], -1, -2
                                         ).astype(np.uint64)
                             * Bi[:, None] % q).astype(np.uint32)
         self.w1_dig, self.w2_dig = w1, w2
         self.w1i_dig, self.w2i_dig = w1i, w2i
-        self.mid_tile = mid                           # [L, n1, n2]
-        self.mid_inv_tile_T = mid_inv_T               # [L, n2, n1]
+        self.mid_tile = mid                           # [L, n1, n2] plain
+        self.mid_inv_tile_T = mid_inv_T               # [L, n2, n1] plain
+        self.mid_shoup = np.empty_like(mid)
+        self.mid_inv_shoup_T = np.empty_like(mid_inv_T)
+        for i, q in enumerate(qs):
+            # w < 2^30 so (w << 32) fits uint64 exactly
+            self.mid_shoup[i] = ((mid[i].astype(np.uint64) << 32)
+                                 // q).astype(np.uint32)
+            self.mid_inv_shoup_T[i] = ((mid_inv_T[i].astype(np.uint64)
+                                        << 32) // q).astype(np.uint32)
 
-        # bucket fold constants: 2^(8k)*R mod q (true multiply under REDC)
+        # bucket fold constants: 2^(8k) mod q as plain Shoup multipliers
         # and a multiple-of-q offset making each int32 bucket non-negative.
         nb = 2 * NDIG - 1
         pairs = [min(k + 1, nb - k) for k in range(nb)]  # digit pairs per k
         self.fold_mul = np.empty((L, nb), np.uint32)
+        self.fold_shoup = np.empty((L, nb), np.uint32)
         self.fold_off = np.empty((L, nb), np.uint32)
         nmax = max(n1, n2)
         for i, q in enumerate(qs):
             for k in range(nb):
-                self.fold_mul[i, k] = (1 << (8 * k)) * (1 << 32) % q
+                w = (1 << (8 * k)) % q
+                self.fold_mul[i, k] = w
+                self.fold_shoup[i, k] = ma.host_shoup(w, q)
                 m = pairs[k] * nmax * 128 * 128       # |bucket| bound
                 self.fold_off[i, k] = (m // q + 1) * q
         self.q = nt.q
@@ -147,10 +163,13 @@ class PallasNttTables:
             "w1i_dig": jnp.asarray(self.w1i_dig),
             "w2i_dig": jnp.asarray(self.w2i_dig),
             "mid_tile": jnp.asarray(self.mid_tile),
+            "mid_shoup": jnp.asarray(self.mid_shoup),
             "mid_inv_tile_T": jnp.asarray(self.mid_inv_tile_T),
+            "mid_inv_shoup_T": jnp.asarray(self.mid_inv_shoup_T),
             # per-limb scalar tables as [L, 1, k] so SMEM blocks (1, 1, k)
             # match the trailing array dims exactly (Mosaic block rule)
             "fold_mul": jnp.asarray(self.fold_mul)[:, None, :],
+            "fold_shoup": jnp.asarray(self.fold_shoup)[:, None, :],
             "fold_off": jnp.asarray(self.fold_off)[:, None, :],
             "q": jnp.asarray(self.q).reshape(-1, 1, 1),
             "qneg_inv": jnp.asarray(self.qneg_inv).reshape(-1, 1, 1),
@@ -187,6 +206,31 @@ def _k_mont_mul(a, b, q, qneg):
     return jnp.where(res >= q, res - q, res)
 
 
+def _k_mul_hi(a, b):
+    """High 32 bits of the exact 32x32 product (drops the lo path of
+    _k_mul_full but keeps its carry into hi)."""
+    M = jnp.uint32(0xFFFF)
+    al, ah = a & M, a >> 16
+    bl, bh = b & M, b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + hl
+    mid_c = (mid < lh).astype(U32)
+    lo_c = ((ll >> 16) + (mid & M)) >> 16     # carry out of lo = ll+(mid<<16)
+    return hh + (mid >> 16) + (mid_c << 16) + lo_c
+
+
+def _k_shoup_mul(x, w, ws, q):
+    """x*w mod q for precomputed plain w < q with companion ws =
+    floor(w*2^32/q): ~6 VPU multiplies vs Montgomery's ~9
+    (mod_arith.shoup_mul; SEAL's multiply_uint_mod const-operand path)."""
+    hi = _k_mul_hi(x, ws)
+    r = x * w - hi * q                        # wrapping, exact in [0, 2q)
+    return jnp.where(r >= q, r - q, r)
+
+
 def _k_digits(x):
     """uint32 [r, c] -> 4 int8 planes (balanced)."""
     digs = []
@@ -200,7 +244,7 @@ def _k_digits(x):
     return digs
 
 
-def _k_mod_matmul(wd, xd, q, qneg, fold_mul, fold_off, cdim: int):
+def _k_mod_matmul(wd, xd, q, fold_mul, fold_shoup, fold_off, cdim: int):
     """Exact modular matmul over digit planes, folding bucket-by-bucket
     (bounded VMEM: one int32 bucket live at a time).
 
@@ -208,7 +252,9 @@ def _k_mod_matmul(wd, xd, q, qneg, fold_mul, fold_off, cdim: int):
     xd: list of NDIG int8 planes [bt, ..., n at axis ``cdim``].
     Contraction: W axis 1 against x axis ``cdim``; result
     [n_out, *x_other_axes] uint32 mod q, preserving any Montgomery
-    factor carried by x.
+    factor carried by x.  Bucket folds are Shoup multiplies by the plain
+    constant 2^(8k) mod q (the folds are the kernel's VPU bottleneck —
+    BENCH_NOTES r4; Shoup cuts each from ~9 to ~6 VPU multiplies).
     """
     nb = 2 * NDIG - 1
     dims = (((1,), (cdim,)), ((), ()))
@@ -223,7 +269,7 @@ def _k_mod_matmul(wd, xd, q, qneg, fold_mul, fold_off, cdim: int):
                                     preferred_element_type=jnp.int32)
             part = t if part is None else part + t
         u = part.astype(U32) + fold_off[k]
-        term = _k_mont_mul(u, fold_mul[k], q, qneg)
+        term = _k_shoup_mul(u, fold_mul[k], fold_shoup[k], q)
         acc = term if acc is None else \
             jnp.where((s := acc + term) >= q, s - q, s)
     return acc
@@ -233,12 +279,12 @@ def _k_mod_matmul(wd, xd, q, qneg, fold_mul, fold_off, cdim: int):
 # kernels — per grid cell: bt batch rows x 1 limb, VMEM-resident
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, w1_ref, w2_ref, mid_ref, fm_ref, fo_ref,
-                q_ref, qneg_ref, out_ref, *, n1, n2, bt):
+def _fwd_kernel(x_ref, w1_ref, w2_ref, mid_ref, mids_ref, fm_ref, fs_ref,
+                fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2, bt):
     q = q_ref[0, 0, 0]
-    qneg = qneg_ref[0, 0, 0]
     nb = 2 * NDIG - 1
     fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
+    fs = [fs_ref[0, 0, k] for k in range(nb)]
     fo = [fo_ref[0, 0, k] for k in range(nb)]
     # bt batch rows per grid cell, each processed as a 2D tile (Mosaic has
     # no 3D transpose; looping 2D slices keeps the MXU fed and amortizes
@@ -246,25 +292,25 @@ def _fwd_kernel(x_ref, w1_ref, w2_ref, mid_ref, fm_ref, fo_ref,
     # W1/mid host-side (separable over the tile) — no twist multiply here.
     for b in range(bt):
         x = x_ref[b, 0]                                        # [n1, n2]
-        a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, qneg, fm, fo, 0)
-        a = _k_mont_mul(a, mid_ref[0], q, qneg)
-        y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, qneg, fm, fo, 1)
+        a = _k_mod_matmul(w1_ref[0], _k_digits(x), q, fm, fs, fo, 0)
+        a = _k_shoup_mul(a, mid_ref[0], mids_ref[0], q)
+        y = _k_mod_matmul(w2_ref[0], _k_digits(a), q, fm, fs, fo, 1)
         out_ref[b, 0] = y                                      # [n2, n1]
 
 
-def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, fm_ref,
-                fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2, bt):
+def _inv_kernel(x_ref, w2i_ref, w1i_ref, midinv_ref, midinvs_ref, fm_ref,
+                fs_ref, fo_ref, q_ref, qneg_ref, out_ref, *, n1, n2, bt):
     q = q_ref[0, 0, 0]
-    qneg = qneg_ref[0, 0, 0]
     nb = 2 * NDIG - 1
     fm = [fm_ref[0, 0, k] for k in range(nb)]     # SMEM: scalar loads only
+    fs = [fs_ref[0, 0, k] for k in range(nb)]
     fo = [fo_ref[0, 0, k] for k in range(nb)]
     # psi^-1/N untwist folded into W1i/midinv host-side
     for b in range(bt):
         y = x_ref[b, 0]                                        # [n2, n1]
-        t = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, qneg, fm, fo, 0)
-        t = _k_mont_mul(t, midinv_ref[0], q, qneg)
-        x = _k_mod_matmul(w1i_ref[0], _k_digits(t), q, qneg, fm, fo, 1)
+        t = _k_mod_matmul(w2i_ref[0], _k_digits(y), q, fm, fs, fo, 0)
+        t = _k_shoup_mul(t, midinv_ref[0], midinvs_ref[0], q)
+        x = _k_mod_matmul(w1i_ref[0], _k_digits(t), q, fm, fs, fo, 1)
         out_ref[b, 0] = x                                      # [n1, n2]
 
 
@@ -293,6 +339,7 @@ def _call(kernel, B, bt, Lact, lo, mat_shapes, in_tile, out_tile,
                      memory_space=pltpu.VMEM),
     ] + [limb(s) for s in mat_shapes] + [
         limb((1, nb), pltpu.SMEM),        # fold_mul
+        limb((1, nb), pltpu.SMEM),        # fold_shoup
         limb((1, nb), pltpu.SMEM),        # fold_off
         limb((1, 1), pltpu.SMEM),         # q
         limb((1, 1), pltpu.SMEM),         # qneg_inv
@@ -334,10 +381,11 @@ def ntt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
     bt = _batch_tile(x2.shape[0], n1, n2)
     fn = _call(functools.partial(_fwd_kernel, n1=n1, n2=n2, bt=bt),
                x2.shape[0], bt, Lact, lo,
-               [(NDIG, n1, n1), (NDIG, n2, n2), (n1, n2)],
+               [(NDIG, n1, n1), (NDIG, n2, n2), (n1, n2), (n1, n2)],
                (n1, n2), (n2, n1), interpret)
     out = fn(x2, tbp["w1_dig"], tbp["w2_dig"],
-             tbp["mid_tile"], tbp["fold_mul"], tbp["fold_off"],
+             tbp["mid_tile"], tbp["mid_shoup"], tbp["fold_mul"],
+             tbp["fold_shoup"], tbp["fold_off"],
              tbp["q"], tbp["qneg_inv"])
     return out.reshape(lead + (Lact, N))
 
@@ -353,9 +401,9 @@ def intt_pallas(x, tbp: dict, limb_slice=None, interpret: bool = False):
     bt = _batch_tile(x2.shape[0], n1, n2)
     fn = _call(functools.partial(_inv_kernel, n1=n1, n2=n2, bt=bt),
                x2.shape[0], bt, Lact, lo,
-               [(NDIG, n2, n2), (NDIG, n1, n1), (n2, n1)],
+               [(NDIG, n2, n2), (NDIG, n1, n1), (n2, n1), (n2, n1)],
                (n2, n1), (n1, n2), interpret)
     out = fn(x2, tbp["w2i_dig"], tbp["w1i_dig"], tbp["mid_inv_tile_T"],
-             tbp["fold_mul"], tbp["fold_off"],
-             tbp["q"], tbp["qneg_inv"])
+             tbp["mid_inv_shoup_T"], tbp["fold_mul"], tbp["fold_shoup"],
+             tbp["fold_off"], tbp["q"], tbp["qneg_inv"])
     return out.reshape(lead + (Lact, N))

@@ -69,3 +69,17 @@ def test_add_sub_neg():
                           (a.astype(np.int64) - b.astype(np.int64)) % q)
     assert np.array_equal(np.asarray(ma.neg_mod(aj, qq), np.uint64),
                           (np.uint64(q) - a) % np.uint64(q))
+
+
+def test_shoup_mul_exact():
+    """shoup_mul(x, w, w') == x*w mod q for arbitrary uint32 x and
+    precomputed w < q (the twiddle/fold fast path)."""
+    import jax.numpy as jnp
+    q = ntt_primes_near(29.9, 2 ** 13, 1)[0]     # worst case: q near 2^30
+    x = RNG.integers(0, 1 << 32, size=4096, dtype=np.uint64)
+    w = RNG.integers(0, q, size=4096, dtype=np.uint64)
+    ws = ((w << np.uint64(32)) // np.uint64(q)).astype(np.uint32)
+    got = ma.shoup_mul(jnp.asarray(x.astype(np.uint32)),
+                       jnp.asarray(w.astype(np.uint32)),
+                       jnp.asarray(ws), jnp.uint32(q))
+    assert np.array_equal(np.asarray(got, np.uint64), x * w % np.uint64(q))
