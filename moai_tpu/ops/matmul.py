@@ -318,8 +318,9 @@ def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
         if g > 1 else None
     vb = jnp.concatenate([v.data[None], vb_rot.data]) if vb_rot is not None \
         else v.data[None]                                   # [g, dv, 2, L, N]
-    partials = []   # 3-poly [dv, 3, L, N] per giant group
+    total = None
     xdat = x.data
+    prod_scale = x.scale * v.scale
     for bi in range(b):
         lo, hi = bi * g, min((bi + 1) * g, m)
         grp = x.with_data(xdat[lo:hi])
@@ -336,20 +337,18 @@ def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
         c2 = ma.mont_mul(a1, b1, q, qneg)
         prod = jnp.stack([c0, c1, c2], axis=-3)             # [ng, dv, 3, L, N]
         p_sum = _sum_axis(prod, 0, q)                       # [dv, 3, L, N]
-        # sequence the giant groups (ma.seq doc) — all b groups' [ng, dv,
-        # 3, L, N] products would otherwise be scheduled concurrently
-        p_sum, vb, xdat = ma.seq(p_sum, vb, xdat)
-        partials.append(p_sum)
-    stacked = Ciphertext(jnp.stack(partials), x.scale * v.scale, True)
-    rel = ev.relinearize(stacked)                           # [b, dv, 2, L, N]
-    total = None
-    rel_d = rel.data
-    for bi in range(b):
-        part = Ciphertext(rel_d[bi], rel.scale, True)
+        # relinearize + giant-rotate PER GROUP: the r4 all-groups-batched
+        # relinearization materialized a [b, dv, D, n_t, N] key-switch
+        # decomposition (~6.4 GB at flagship AV dims — OOM under the
+        # vmapped-heads driver); per-group it is b x smaller with
+        # identical math and work
+        part = ev.relinearize(Ciphertext(p_sum, prod_scale, True))
         if bi:
             part = ev.rotate(part, g * bi * num_x)          # giant step
-            pd, rel_d = ma.seq(part.data, rel_d)            # sequence rots
-            part = part.with_data(pd)
         total = part if total is None else \
             part.with_data(ma.add_mod(total.data, part.data, q))
+        # sequence the giant groups (ma.seq doc) — all b groups'
+        # products/key-switches would otherwise schedule concurrently
+        td, vb, xdat = ma.seq(total.data, vb, xdat)
+        total = total.with_data(td)
     return ev.rescale(ev.rescale(total))

@@ -415,7 +415,8 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         # per-head chains are dispatch-bound, and the [hb, num_row, ...]
         # working set fits HBM easily (models/bert.py does the same for
         # the model path; VERDICT r4 item 9)
-        hb = min(4, H)
+        hb = min(2, H)      # 4 OOM'd even with per-group relin (vb
+        #                     residency x heads); 2 leaves ~4 GB headroom
         av_a = fake_ct(hb * dims.num_row, n_av)
         av_v = fake_ct(hb * hd, n_av)
 
