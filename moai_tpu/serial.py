@@ -157,3 +157,31 @@ def load_galois_keys(path: str) -> GaloisKeys:
         keys[g] = KSwitchKey(jnp.asarray(a[f"key_{g}"]))
         perms[g] = a[f"perm_{g}"]
     return GaloisKeys(keys, perms)
+
+
+# -- checkpoint / resume ------------------------------------------------------
+
+def save_layer_state(path: str, ct: Ciphertext, layer_idx: int,
+                     cfg: CKKSConfig | None = None):
+    """Checkpoint a model's inter-layer ciphertext: the output of
+    ``layers[layer_idx]``, ready to enter ``layers[layer_idx + 1]``.
+
+    The reference checkpoints by DECRYPTING each layer's output to
+    layer_N.txt and re-reading it with read_input_2
+    (test_full_scheme.hpp:69-92, 497-520); here the checkpoint is the
+    ciphertext itself — resumable without the secret key."""
+    h = {"kind": "layer_state", "layer_idx": int(layer_idx),
+         "scale": ct.scale, "is_ntt": ct.is_ntt}
+    if cfg is not None:
+        h["config"] = _cfg_dict(cfg)
+    _save(path, h, {"data": ct.data})
+
+
+def load_layer_state(path: str) -> tuple[Ciphertext, int]:
+    """-> (ciphertext, layer_idx).  Feed to
+    EncryptedBertModel(..., start_layer=layer_idx + 1)."""
+    h, arrays = _load(path)
+    assert h["kind"] == "layer_state", h["kind"]
+    ct = Ciphertext(jnp.asarray(arrays["data"]), float(h["scale"]),
+                    bool(h["is_ntt"]))
+    return ct, int(h["layer_idx"])
