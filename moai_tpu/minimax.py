@@ -139,6 +139,85 @@ def fit_sign_composite(tau: float, degrees: list[int],
     return polys, 1.0 - lo
 
 
+def choose_sign_composite(tau: float, target_dev: float,
+                          max_stages: int = 5,
+                          degree_menu=(3, 5, 7, 9, 13, 15, 21, 27, 31),
+                          beam: int = 8):
+    """Search the composition space for the cheapest odd-polynomial
+    composite approximating sgn(x) on ±[tau, 1] to within ``target_dev``
+    (the reference's minicomp Choosemax/PolyUpdate machinery,
+    common/PolyUpdate.{h,cpp} — there a tree search over compositions;
+    here a beam search with a memoized per-stage Remez oracle, which
+    reaches the same (levels, mults)-optimal frontier for the degree menu
+    the homomorphic evaluator actually supports).
+
+    Cost model per stage of odd degree d evaluated Chebyshev-BSGS:
+    levels = ceil(log2(d+1)) composite levels, mults ~ 2*sqrt(d).
+    Objective: lexicographic (total levels, total mults).
+
+    Returns (degrees, polys, achieved_dev) with ``polys`` as in
+    :func:`fit_sign_composite`.
+    """
+    from math import ceil, log2, sqrt
+
+    err_memo: dict[tuple[float, int], float] = {}
+
+    def stage_err(lo: float, deg: int) -> float:
+        key = (round(lo, 6), deg)
+        if key not in err_memo:
+            _, e = remez_fit(np.sign, [(-1.0, -lo), (lo, 1.0)], deg,
+                             parity="odd")
+            err_memo[key] = e
+        return err_memo[key]
+
+    def costs(deg: int):
+        return ceil(log2(deg + 1)), 2.0 * sqrt(deg)
+
+    # beam states: (levels, mults, lo, degrees)
+    states = [(0, 0.0, tau, ())]
+    best = None
+    for _ in range(max_stages):
+        nxt = []
+        for lv, mu, lo, seq in states:
+            for d in degree_menu:
+                e = stage_err(lo, d)
+                if e >= 1.0:
+                    continue
+                lo2 = (1.0 - e) / (1.0 + e)
+                dl, dm = costs(d)
+                st = (lv + dl, mu + dm, lo2, seq + (d,))
+                if 1.0 - lo2 <= target_dev:
+                    if best is None or (st[0], st[1]) < (best[0], best[1]):
+                        best = st
+                else:
+                    nxt.append(st)
+        if best is not None:
+            # prune states already costlier than the found solution
+            nxt = [s for s in nxt if (s[0], s[1]) < (best[0], best[1])]
+        # beam: keep the highest-precision state per cost bucket
+        nxt.sort(key=lambda s: (s[0], s[1], -s[2]))
+        seen = set()
+        pruned = []
+        for s in nxt:
+            if len(pruned) >= beam:
+                break
+            k = round(-np.log10(max(1e-300, 1.0 - s[2])), 1)
+            if k in seen:
+                continue
+            seen.add(k)
+            pruned.append(s)
+        states = pruned
+        if not states:
+            break
+    if best is None:
+        raise ValueError(
+            f"no composition of <= {max_stages} stages from {degree_menu} "
+            f"reaches deviation {target_dev} from tau={tau}")
+    degrees = list(best[3])
+    polys, dev = fit_sign_composite(tau, degrees)
+    return degrees, polys, dev
+
+
 def eval_cheb_np(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
     return np.polynomial.chebyshev.chebval(x, coeffs)
 

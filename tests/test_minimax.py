@@ -74,3 +74,25 @@ def test_gelu_sign_homomorphic():
     got = decryptor.decrypt(out).real[0]
     want = 0.5 * xs * (1 + erf(xs / np.sqrt(2)))
     assert np.abs(got - want).max() < 0.05
+
+
+def test_choose_sign_composite():
+    """The minicomp-style composition search (reference PolyUpdate.h:29):
+    finds a multi-stage composite meeting the target and costing no more
+    levels than the library's hand-picked GELU ladder."""
+    from moai_tpu.minimax import choose_sign_composite, fit_sign_composite, \
+        eval_cheb_np
+    degrees, polys, dev = choose_sign_composite(0.05, 2e-3, max_stages=4)
+    assert dev <= 2e-3, (degrees, dev)
+    # verify by direct evaluation on the domain
+    xs = np.concatenate([np.linspace(0.05, 1, 2001),
+                         -np.linspace(0.05, 1, 2001)])
+    y = xs.copy()
+    for c in polys:
+        y = eval_cheb_np(c, y)
+    assert np.abs(y - np.sign(xs)).max() <= 2e-3 + 1e-9
+    # no cheaper than the searched cost: a single-stage fit from the menu
+    # cannot reach the target (composition is genuinely needed here)
+    _, e31 = __import__("moai_tpu.minimax", fromlist=["remez_fit"]).remez_fit(
+        np.sign, [(-1.0, -0.05), (0.05, 1.0)], 31, parity="odd")
+    assert e31 > 2e-3

@@ -126,8 +126,17 @@ def test_bert_layer_real_bootstrap():
         probe_log.append((ct.n_q, n_q, v_in, v_out))
         print(f"[probe] refresh #{len(probe_log)}: |in|={v_in:.3f} "
               f"|out|={v_out:.3f} (n_q {ct.n_q}->{n_q})", flush=True)
-        assert v_out < 4 * max(1.0, v_in) + 1.0, \
-            (len(probe_log), v_in, v_out)
+        if not v_out < 4 * max(1.0, v_in) + 1.0:
+            # dump the diverging input for offline stage-by-stage
+            # diagnosis (tools/debug_refresh2.py --dump): one failing run
+            # is then fully diagnostic
+            from moai_tpu.serial import save_ciphertext, save_secret_key
+            tag = f"/tmp/boot_fail_r{len(probe_log)}"
+            save_ciphertext(tag + "_in.npz", ct, cfg=ctx.cfg)
+            save_secret_key(tag + "_sk.npz", kg.sk)
+            print(f"[probe] dumped failing ct -> {tag}_in.npz "
+                  f"(m_bound={m_bound})", flush=True)
+            raise AssertionError((len(probe_log), v_in, v_out))
         return out
 
     w = rand_weights()
