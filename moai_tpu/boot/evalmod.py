@@ -21,8 +21,6 @@ from __future__ import annotations
 import numpy as np
 
 from .. import mod_arith as ma
-
-from .. import mod_arith as ma
 from ..ciphertext import Ciphertext
 from ..evaluator import Evaluator
 
@@ -277,18 +275,33 @@ class ModReducer:
             (2 if self.arcsin_deg >= 3 else 0)
 
     def __call__(self, ev: Evaluator, t: Ciphertext,
-                 pre_scale: float = 1.0) -> Ciphertext:
+                 pre_scale: float = 1.0,
+                 work_scale: float | None = None) -> Ciphertext:
         """t (slots hold m*Delta/q0 + I, possibly pre-divided by
         ``pre_scale``): returns ct whose slots are sin(2*pi*t) at the
-        evaluator's working scale.  ``pre_scale`` multiplies the input
-        first (used to fold the 1/2 of the real/imag split in for free)."""
+        working scale.  ``pre_scale`` multiplies the input first (used to
+        fold the 1/2 of the real/imag split in for free).
+
+        ``work_scale`` is the scale the Chebyshev ladder lands at.  It
+        MUST match the pair product of the levels the ladder actually
+        consumes: on a mixed chain (26-bit data pairs + 29-bit boot
+        pairs, flagship_config) every rescale inside the bootstrap region
+        divides by a ~2^58 boot pair, so landing at ctx.scale (the 2^52
+        DATA pair product) shrinks the true scale by the ratio at every
+        squaring — compounding squared (2^52 -> 2^46 -> 2^34 -> 2^10 ...)
+        until the message sinks below the rescale rounding floor while
+        the tracked metadata stays "exact" (the committed err-1.7e35
+        signature of tools/flagship_n16.py round 4).  Defaults to the
+        pair product at the input's level."""
         da = 1 << self.double_angles
+        if work_scale is None:
+            work_scale = ev.level_pair_scale(t.n_q)
         # x = (t - 0.25)/(da * x_max): one const mult + const add.  The
         # multiply also drops the ciphertext from its reinterpreted scale
-        # (~q0) to the working scale Delta, keeping the ladder's squares
+        # (~q0) to the working scale, keeping the ladder's squares
         # scale-stable.
         a = pre_scale / (da * self.x_max)
-        x = ev.rescale_pair(ev.mul_const_to(t, a, ev.ctx.scale))
+        x = ev.rescale_pair(ev.mul_const_to(t, a, work_scale))
         x = ev.add_const(x, -0.25 / (da * self.x_max))
         c = cheb_eval_bsgs(ev, x, self.coef)
         for _ in range(self.double_angles):

@@ -411,19 +411,22 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     if want("av_ccmm"):
         n_av = lv(3)
         keys = upload_keys(n_av, galois=True)
-        # heads are vmapped into a leading batch axis: at 3 limbs the
-        # per-head chains are dispatch-bound, and the [hb, num_row, ...]
-        # working set fits HBM easily (models/bert.py does the same for
-        # the model path; VERDICT r4 item 9)
-        hb = min(2, H)      # 4 OOM'd even with per-group relin (vb
-        #                     residency x heads); 2 leaves ~4 GB headroom
+        # heads are batched into a leading axis via lax.map (ONE dispatch
+        # per hb heads, ONE traced head body): vmap'd heads schedule all
+        # heads' key-switch temporaries concurrently — hb=2 compiled to a
+        # 21.7 GB schedule on the 15.75 GB chip (r5 first rerun); lax.map
+        # serializes the head loop on-device so one head's working set is
+        # live at a time while still amortizing the ~200 ms tunnel
+        # dispatch across all heads
+        hb = min(6, H)
         av_a = fake_ct(hb * dims.num_row, n_av)
         av_v = fake_ct(hb * hd, n_av)
 
         def f_av(ad, vd, ks):
             bind_keys(ks, n_av)
 
-            def one(a1, v1):
+            def one(args):
+                a1, v1 = args
                 return ccmm_diag_to_col(
                     ev, Ciphertext(a1, scale, True),
                     Ciphertext(v1, scale, True),
@@ -431,7 +434,7 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
 
             a = ad.reshape((hb, dims.num_row) + ad.shape[1:])
             v = vd.reshape((hb, hd) + vd.shape[1:])
-            return jax.vmap(one)(a, v)
+            return jax.lax.map(one, (a, v))
 
         jf = jax.jit(f_av)
         out = jf(av_a.data, av_v.data, keys)
