@@ -293,7 +293,8 @@ def _sum_axis(data, axis, q):
 
 
 def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
-                     num_x: int, num_row: int) -> Ciphertext:
+                     num_x: int, num_row: int,
+                     rot_chunk: int = 4) -> Ciphertext:
     """Diagonal-packed A [num_row cts, diag d slot k = A[k, k+d]] x
     col-packed V [dv cts] -> col-packed A V [dv cts], baby-step/giant-step
     (reference: ct_ct_matrix_mul_diagpacking, Ct_ct_matrix_mul.hpp:57-155).
@@ -313,8 +314,12 @@ def ccmm_diag_to_col(ev: Evaluator, x: Ciphertext, v: Ciphertext,
     b = int(np.ceil(m / g))
     q = ev.dev["q"][:x.n_q].reshape(-1, 1)
     qneg = ev.dev["qneg_inv"][:x.n_q].reshape(-1, 1)
-    # baby-rotated V batch: vb[s] = rot(V, s*num_x) — one hoisted sweep
-    vb_rot = ev.rotate_hoisted(v, [s * num_x for s in range(1, g)]) \
+    # baby-rotated V batch: vb[s] = rot(V, s*num_x) — one hoisted sweep,
+    # chunked: an unchunked sweep materializes all g-1 rotations' MAC
+    # temporaries at once ([g-1, dv, n_t, N] x several — the AV stage at
+    # d=768 scale compiled to a 16.6 GB schedule on the 15.75 GB chip)
+    vb_rot = ev.rotate_hoisted(v, [s * num_x for s in range(1, g)],
+                               chunk=rot_chunk) \
         if g > 1 else None
     vb = jnp.concatenate([v.data[None], vb_rot.data]) if vb_rot is not None \
         else v.data[None]                                   # [g, dv, 2, L, N]

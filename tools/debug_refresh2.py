@@ -55,18 +55,10 @@ def main():
               f"shape={ct.data.shape}", flush=True)
         return err
 
-    # A: batched tiny fresh
-    vA = rng.normal(0, 0.02, (8, slots))
-    ctA = encryptor.encrypt_values(vA, n_q=ctx.n_q0 + 2)
-    check("A batched tiny fresh@4", ctA, vA)
-
-    # B: single tiny fresh
-    vB = vA[0]
-    ctB = encryptor.encrypt_values(vB, n_q=ctx.n_q0 + 2)
-    check("B single  tiny fresh@4", ctB, vB)
-
     # C: CPMM-produced at q0 (the refresh #2 shape): encrypt batch of 8
-    # columns at n_q=4, multiply by an 8x8 weight with bias+mask
+    # columns at n_q=4, multiply by an 8x8 weight with bias+mask.
+    # Runs FIRST: it shares case A's batched shapes, so after one A run
+    # populated the compile cache this is the cheapest discriminator.
     W = rng.normal(0, 0.25, (8, 8)) * 0.15
     bias = rng.normal(0, 0.025, 8)
     mask = (rng.uniform(size=slots) < 0.9).astype(np.float64)
@@ -81,10 +73,34 @@ def main():
           f"scale={ctC.scale:.6g}", flush=True)
     check("C batched CPMM->q0     ", ctC, wantC)
 
+    # C2: same but with a DRIFTED scale (the attention chain's composite-
+    # pair drift): reinterpret the input at a scale 1.7x off ctx.scale by
+    # encrypting values pre-multiplied by the drift factor
+    drift = 1.7
+    ctx_in2 = encryptor.encrypt_values(xC * drift, n_q=ctx.n_q0 + 2)
+    ctx_in2 = ev.with_scale(ctx_in2, ctx_in2.scale * drift,
+                            reason="debug: emulate composite scale drift")
+    ctC2 = mm(ctx_in2)
+    gotC2 = dec.decrypt(ctC2).real
+    print(f"[C2] drifted-scale cpmm decrypt err (pre-boot): "
+          f"{float(np.abs(gotC2 - wantC).max()):.4g} scale={ctC2.scale:.6g}",
+          flush=True)
+    check("C2 drifted-scale CPMM  ", ctC2, wantC)
+
     # D: batched wide fresh
     vD = rng.uniform(-6, 6, (8, slots))
     ctD = encryptor.encrypt_values(vD, n_q=ctx.n_q0 + 2)
     check("D batched wide fresh@4", ctD, vD)
+
+    # A: batched tiny fresh (baseline; passed in the first recorded run)
+    vA = rng.normal(0, 0.02, (8, slots))
+    ctA = encryptor.encrypt_values(vA, n_q=ctx.n_q0 + 2)
+    check("A batched tiny fresh@4", ctA, vA)
+
+    # B: single tiny fresh
+    vB = vA[0]
+    ctB = encryptor.encrypt_values(vB, n_q=ctx.n_q0 + 2)
+    check("B single  tiny fresh@4", ctB, vB)
 
 
 if __name__ == "__main__":

@@ -65,7 +65,7 @@ PRESETS = {
     "n15": dict(logN=15, num_x=128, num_row=128, d_model=768, num_heads=12,
                 head_dim=64, d_inter=3072, exp_r=7, inv_iters=16,
                 ln_newton=3, ln_gold=1, dnum=3,
-                j_chunk=256, i_chunk=192, ln_chunk=16, ffn_i_chunk=128,
+                j_chunk=256, i_chunk=192, ln_chunk=16, ffn_i_chunk=64,
                 ccmm_col_chunk=16, reps=1),
 }
 
@@ -173,12 +173,28 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
             out["gal"] = dev_gal
         return out
 
-    def bind_keys(keys, n_q):
+    def sliced_keys(n_q, galois=False, relin=True):
+        """Per-stage key pytree SLICED to the stage level (a key mod a
+        chain prefix is still valid; keys.slice_kswitch).  Low-level
+        stages keep only n_q + K limbs resident instead of full L —
+        the AV stage at 8 limbs saves ~1 GB of key HBM."""
+        out = {}
+        if relin:
+            out["relin"] = slice_kswitch(KSwitchKey(dev_relin), n_q, L).data
+        if galois:
+            out["gal"] = {g: slice_kswitch(KSwitchKey(d), n_q, L).data
+                          for g, d in dev_gal.items()}
+        return out
+
+    def bind_keys(keys, n_q, q_limbs=None):
+        # q_limbs: Q limbs present in SLICED key tensors (static — must
+        # come in via closure, not the traced pytree)
         if "relin" in keys:
-            ev.relin_key = KSwitchKey(keys["relin"])
+            ev.relin_key = KSwitchKey(keys["relin"], q_limbs=q_limbs)
         if "gal" in keys:
             ev.galois_keys = GaloisKeys(
-                {g: KSwitchKey(d) for g, d in keys["gal"].items()}, perms)
+                {g: KSwitchKey(d, q_limbs=q_limbs)
+                 for g, d in keys["gal"].items()}, perms)
 
     def unbind():
         ev.relin_key = None
@@ -410,7 +426,7 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
     # =====================================================================
     if want("av_ccmm"):
         n_av = lv(3)
-        keys = upload_keys(n_av, galois=True)
+        keys = sliced_keys(n_av, galois=True)
         # heads are batched into a leading axis via lax.map (ONE dispatch
         # per hb heads, ONE traced head body): vmap'd heads schedule all
         # heads' key-switch temporaries concurrently — hb=2 compiled to a
@@ -418,12 +434,12 @@ def run(preset: str, verbose: bool = True, only=None) -> dict:
         # serializes the head loop on-device so one head's working set is
         # live at a time while still amortizing the ~200 ms tunnel
         # dispatch across all heads
-        hb = min(6, H)
+        hb = min(4, H)
         av_a = fake_ct(hb * dims.num_row, n_av)
         av_v = fake_ct(hb * hd, n_av)
 
         def f_av(ad, vd, ks):
-            bind_keys(ks, n_av)
+            bind_keys(ks, n_av, q_limbs=n_av)
 
             def one(args):
                 a1, v1 = args
