@@ -27,6 +27,33 @@ BATCH = 32                  # ciphertext columns per launch
 REPS = 3
 
 
+def e2e_projection():
+    """If the committed measurement artifacts are complete (FLAGSHIP.json
+    stage table with no missing stages + a BOOT_BENCH.json TPU row at the
+    flagship slot count), return the 12-layer amortized s/input projection
+    (tools/project_e2e.py math) — the Table-3 headline comparison.
+    Returns None when the artifacts don't support an honest projection."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        flag = json.load(open(os.path.join(root, "FLAGSHIP.json")))
+        boots = json.load(open(os.path.join(root, "BOOT_BENCH.json")))
+    except Exception:
+        return None
+    if isinstance(boots, dict):
+        boots = [boots]
+    want_slots = flag["N"] // 2
+    rows = [b for b in boots if b["slots"] == want_slots
+            and b.get("backend") == flag.get("backend") == "tpu"]
+    if flag.get("missing_stages") or not rows:
+        return None
+    per_ct = min(r["boot_s_per_ct"] for r in rows)
+    # reference layer composition (test_full_scheme.hpp:484-1120): 4 x
+    # 768-ct bootstraps + 12 softmax-sum boots per layer
+    boot_layer_s = (4 * 768 + 12) * per_ct
+    layer_s = flag["stage_sum_s"] + boot_layer_s
+    return layer_s / flag["num_inputs"] * 12
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -69,6 +96,21 @@ def main():
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / REPS
     ops_s = BATCH / dt
+    proj = e2e_projection()
+    if proj is not None:
+        # headline: 12-layer amortized s/input projected from the
+        # committed TPU stage + bootstrap measurements (FLAGSHIP.json,
+        # BOOT_BENCH.json — both real-hardware runs of this round);
+        # vs_baseline = reference 574.6 s / ours (>1 = faster).  The
+        # measured composite is carried alongside.
+        print(json.dumps({
+            "metric": "bert12_amortized_s_per_input_projected",
+            "value": round(proj, 2),
+            "unit": "s/input (12-layer, from measured TPU stage+boot benches)",
+            "vs_baseline": round(574.6 / proj, 3),
+            "composite_ops_s": round(ops_s, 2),
+        }))
+        return
     print(json.dumps({
         "metric": "ckks_mult_relin_rescale_rotate_n15",
         "value": round(ops_s, 2),

@@ -158,9 +158,12 @@ class Bootstrapper:
             for j, qj in enumerate(self.ctx.q_primes):
                 coeffs[j, N // 2] = (1 << 32) % qj         # Montgomery 1
             # concrete even when first touched under a trace (the cached
-            # value must never be a tracer — collect_lt traces this path)
+            # value must never be a tracer — collect_lt traces this path);
+            # jnp NTT (Pallas stripped): one-time setup, and the Pallas
+            # kernel cannot trace under the eval_shape collection pass
+            tbd = {k: v for k, v in self.ev.tbd.items() if k != "pallas"}
             with jax.ensure_compile_time_eval():
-                self._imono = ntt(jnp.asarray(coeffs), self.ev.tbd,
+                self._imono = ntt(jnp.asarray(coeffs), tbd,
                                   limb_slice=(0, self.ctx.L))
         return self._imono[:n_q]
 

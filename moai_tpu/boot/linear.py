@@ -108,12 +108,18 @@ def apply_diagonals(ev: Evaluator, encoder: Encoder, ct: Ciphertext,
 def _pt_ntt(ev, mont, n_q):
     """Jitted plaintext NTT (one executable per n_q): the eager 4-step
     is ~40 separate device dispatches — minutes per LT collection on the
-    tunneled TPU."""
+    tunneled TPU.
+
+    Uses the jnp 4-step (Pallas stripped): LT plaintexts are encoded once
+    at setup so kernel speed is irrelevant, and the Pallas kernel cannot
+    be traced under the jax.eval_shape collection pass (its kernel
+    closure captures the scalar tables as constants there)."""
     import jax
     cache = ev.__dict__.setdefault("_pt_ntt_jits", {})
     fn = cache.get(n_q)
     if fn is None:
-        fn = jax.jit(lambda x: ntt(x, ev.tbd, limb_slice=(0, n_q)))
+        tbd = {k: v for k, v in ev.tbd.items() if k != "pallas"}
+        fn = jax.jit(lambda x: ntt(x, tbd, limb_slice=(0, n_q)))
         cache[n_q] = fn
     return fn(mont)
 

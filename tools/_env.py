@@ -18,4 +18,8 @@ if REPO not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jaxcache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+# 0.05, not 0.5: the deep eager circuits (bootstrap debug tools) issue
+# hundreds of small per-op compiles; at 0.5 they fall below the persist
+# threshold and every fresh process re-pays the whole sweep (~30-45 min
+# per tool run on the 2-core host).
