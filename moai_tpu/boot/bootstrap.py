@@ -287,6 +287,21 @@ def make_refresh(bt: Bootstrapper, m_bound: float = 1.0):
     ev = bt.ev
 
     def refresh(ct, n_q):
+        # Deep squaring chains drift the tracked composite scale (pair
+        # products sit ~0.1 bits off Delta and the log-drift doubles per
+        # squaring: the attention exp/inverse chain delivered the W_O
+        # output at scale 2^25 instead of 2^52).  Tracking is exact so
+        # decrypts stay correct — but the bootstrap's message precision
+        # is |m|*scale/q0, so a sunk scale pushes the message below the
+        # EvalMod resolution while the SlotToCoeff alpha fold
+        # (ctx.scale*q0 / (2*pi*delta_in*w.scale)) amplifies the fit
+        # error by the same factor: the r4 "refresh #2" divergence
+        # (|in| 0.055 -> |out| 3.6e4).  Re-land at the canonical scale
+        # while a spare level exists; callers keep one level above q0 at
+        # every refresh site (models/bert.py does).
+        ratio = ct.scale / bt.ctx.scale
+        if ct.n_q >= bt.ctx.n_q0 + 2 and not (0.5 <= ratio <= 2.0):
+            ct = ev.match_scale(ct, bt.ctx.scale)
         x = ev.mod_drop_to(ct, bt.ctx.n_q0)
         x = ev.with_scale(x, x.scale * m_bound,
                           reason="refresh: normalize |m| <= 1 for EvalMod")

@@ -240,9 +240,13 @@ class EncryptedBertLayer:
         self.refresh = refresh
         slots = ctx.cfg.slots
         mask = bias_vec(input_lens, dims.num_x, dims.num_row, slots)
-        # attention entry: head pipeline depth + 2-prime bottom margin
-        # (outputs never sit exactly on q0, where |m|*scale ~ q0/2)
-        self.n_att = min(ctx.L, ctx.n_q0 + 2 * plan.attention_in + 2)
+        # attention entry: head pipeline depth + TWO spare levels at the
+        # bottom — one margin level, plus one level the W_O refresh can
+        # spend re-landing a drifted composite scale before bootstrapping
+        # (make_refresh; the o_mm output is the deepest point of the
+        # layer and arrives with the attention chain's accumulated
+        # squaring drift)
+        self.n_att = min(ctx.L, ctx.n_q0 + 2 * plan.attention_in + 4)
         self.attn = EncryptedAttention(ev, encoder, w, dims, plan,
                                        self.n_att, input_lens, max_table,
                                        refresh)
